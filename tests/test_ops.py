@@ -1,0 +1,193 @@
+"""Per-op numerical parity vs torch-CPU oracles (SURVEY §4 test pyramid:
+kernels vs reference math)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+import torch.nn.functional as tF
+
+from x3d_multigrid_tpu.ops.swish import swish
+from x3d_multigrid_tpu.ops.conv3d import (
+    conv3d, pointwise_conv3d, depthwise_conv3d, temporal_depthwise_conv,
+)
+from x3d_multigrid_tpu.ops.subbn import (
+    init_subbn_state, sub_batch_norm, aggregate_subbn_stats,
+    resize_subbn_splits,
+)
+
+RTOL, ATOL = 1e-5, 1e-5
+
+
+def _to_torch_nchw(x):
+    # (N, T, H, W, C) -> (N, C, T, H, W)
+    return torch.from_numpy(np.asarray(x).transpose(0, 4, 1, 2, 3)).double()
+
+
+def _from_torch_nchw(x):
+    return x.detach().numpy().transpose(0, 2, 3, 4, 1)
+
+
+def _w_to_torch(w):
+    # DHWIO (kd,kh,kw,ci,co) -> OIDHW (co,ci,kd,kh,kw)
+    return torch.from_numpy(np.asarray(w).transpose(4, 3, 0, 1, 2)).double()
+
+
+class TestSwish:
+    def test_forward(self):
+        x = jnp.linspace(-4, 4, 101)
+        np.testing.assert_allclose(
+            swish(x), np.asarray(x) / (1 + np.exp(-np.asarray(x))),
+            rtol=RTOL, atol=ATOL)
+
+    def test_custom_vjp_matches_autodiff(self):
+        x = jnp.linspace(-4, 4, 101)
+        g_custom = jax.grad(lambda v: jnp.sum(swish(v)))(x)
+        g_auto = jax.grad(lambda v: jnp.sum(v * jax.nn.sigmoid(v)))(x)
+        np.testing.assert_allclose(g_custom, g_auto, rtol=RTOL, atol=ATOL)
+
+
+class TestConv3d:
+    @pytest.mark.parametrize("stride", [1, 2])
+    def test_pointwise_matches_torch(self, stride):
+        rng = np.random.RandomState(0)
+        x = rng.randn(2, 4, 9, 9, 6).astype(np.float32)
+        w = rng.randn(1, 1, 1, 6, 16).astype(np.float32)
+        out = pointwise_conv3d(jnp.asarray(x), jnp.asarray(w),
+                               spatial_stride=stride)
+        ref = tF.conv3d(_to_torch_nchw(x), _w_to_torch(w),
+                        stride=(1, stride, stride))
+        np.testing.assert_allclose(out, _from_torch_nchw(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+    @pytest.mark.parametrize("stride,hw", [(1, 9), (2, 9), (2, 8), (2, 11)])
+    def test_depthwise_matches_torch(self, stride, hw):
+        rng = np.random.RandomState(1)
+        c = 6
+        x = rng.randn(2, 4, hw, hw, c).astype(np.float32)
+        w = rng.randn(3, 3, 3, 1, c).astype(np.float32)
+        out = depthwise_conv3d(jnp.asarray(x), jnp.asarray(w),
+                               spatial_stride=stride)
+        # torch depthwise layout: (C, 1, kd, kh, kw)
+        wt = torch.from_numpy(w.transpose(4, 3, 0, 1, 2)).double()
+        ref = tF.conv3d(_to_torch_nchw(x), wt, stride=(1, stride, stride),
+                        padding=1, groups=c)
+        np.testing.assert_allclose(out, _from_torch_nchw(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_temporal_depthwise_matches_torch(self):
+        rng = np.random.RandomState(2)
+        c = 5
+        x = rng.randn(2, 8, 4, 4, c).astype(np.float32)
+        w = rng.randn(5, 1, 1, 1, c).astype(np.float32)
+        out = temporal_depthwise_conv(jnp.asarray(x), jnp.asarray(w))
+        wt = torch.from_numpy(w.transpose(4, 3, 0, 1, 2)).double()
+        ref = tF.conv3d(_to_torch_nchw(x), wt, padding=(2, 0, 0), groups=c)
+        np.testing.assert_allclose(out, _from_torch_nchw(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_stem_spatial_conv_matches_torch(self):
+        rng = np.random.RandomState(3)
+        x = rng.randn(2, 4, 11, 11, 3).astype(np.float32)
+        w = rng.randn(1, 3, 3, 3, 8).astype(np.float32)
+        out = conv3d(jnp.asarray(x), jnp.asarray(w), stride=(1, 2, 2),
+                     padding=(0, 1, 1))
+        ref = tF.conv3d(_to_torch_nchw(x), _w_to_torch(w),
+                        stride=(1, 2, 2), padding=(0, 1, 1))
+        np.testing.assert_allclose(out, _from_torch_nchw(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+
+class TestSubBN:
+    """Parity with the reference SubBatchNorm3d semantics: the strided
+    view-trick grouping through torch BatchNorm3d(C*S) (x3d.py:47-52)."""
+
+    def _torch_subbn(self, x_nchw, splits, steps_stats=None):
+        n, c = x_nchw.shape[0], x_nchw.shape[1]
+        bn = torch.nn.BatchNorm3d(c * splits, affine=False).double()
+        if steps_stats is not None:
+            bn.running_mean.copy_(steps_stats[0])
+            bn.running_var.copy_(steps_stats[1])
+        bn.train()
+        xv = x_nchw.contiguous().view(n // splits, c * splits,
+                                      *x_nchw.shape[2:])
+        y = bn(xv).view_as(x_nchw)
+        return y, bn.running_mean.clone(), bn.running_var.clone()
+
+    @pytest.mark.parametrize("splits", [1, 2, 4])
+    def test_train_forward_and_running_stats(self, splits):
+        rng = np.random.RandomState(4)
+        n, t, h, w, c = 8, 3, 5, 5, 6
+        x = rng.randn(n, t, h, w, c).astype(np.float32) * 2 + 1
+        st = init_subbn_state(c, splits)
+        scale = jnp.ones((c,))
+        bias = jnp.zeros((c,))
+        y, new_st = sub_batch_norm(jnp.asarray(x), scale, bias, st,
+                                   train=True)
+
+        xt = _to_torch_nchw(x)
+        yt, rm, rv = self._torch_subbn(xt, splits)
+        np.testing.assert_allclose(y, _from_torch_nchw(yt),
+                                   rtol=1e-4, atol=1e-4)
+        # torch running stats of split s live at channels [s*C,(s+1)*C)
+        np.testing.assert_allclose(
+            new_st["split_mean"].reshape(-1), rm.numpy(),
+            rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(
+            new_st["split_var"].reshape(-1), rv.numpy(),
+            rtol=1e-4, atol=1e-5)
+
+    def test_affine_shared_across_splits(self):
+        rng = np.random.RandomState(5)
+        c, splits = 4, 2
+        x = rng.randn(4, 2, 3, 3, c).astype(np.float32)
+        st = init_subbn_state(c, splits)
+        scale = jnp.asarray(rng.randn(c).astype(np.float32))
+        bias = jnp.asarray(rng.randn(c).astype(np.float32))
+        y1, _ = sub_batch_norm(jnp.asarray(x), scale, bias, st, train=True)
+        y0, _ = sub_batch_norm(jnp.asarray(x), jnp.ones((c,)),
+                               jnp.zeros((c,)), st, train=True)
+        np.testing.assert_allclose(y1, np.asarray(y0) * np.asarray(scale)
+                                   + np.asarray(bias), rtol=1e-4, atol=1e-5)
+
+    def test_aggregate_matches_reference_math(self):
+        """mean/var pooling of split stats (x3d.py:27-33)."""
+        rng = np.random.RandomState(6)
+        s, c = 4, 5
+        st = init_subbn_state(c, s)
+        st = {**st,
+              "split_mean": jnp.asarray(rng.randn(s, c).astype(np.float32)),
+              "split_var": jnp.asarray(
+                  rng.rand(s, c).astype(np.float32) + 0.5)}
+        agg = aggregate_subbn_stats(st)
+        means = np.asarray(st["split_mean"])
+        stds = np.asarray(st["split_var"])
+        mean = means.sum(0) / s
+        var = stds.sum(0) / s + ((means - mean) ** 2).sum(0) / s
+        np.testing.assert_allclose(agg["mean"], mean, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(agg["var"], var, rtol=1e-5, atol=1e-6)
+
+    def test_eval_uses_aggregated_stats(self):
+        rng = np.random.RandomState(7)
+        c = 4
+        x = rng.randn(2, 2, 3, 3, c).astype(np.float32)
+        st = init_subbn_state(c, 2)
+        st = {**st, "mean": jnp.asarray(rng.randn(c).astype(np.float32)),
+              "var": jnp.asarray(rng.rand(c).astype(np.float32) + 0.5)}
+        y, _ = sub_batch_norm(jnp.asarray(x), jnp.ones((c,)),
+                              jnp.zeros((c,)), st, train=False)
+        expect = (x - np.asarray(st["mean"])) / np.sqrt(
+            np.asarray(st["var"]) + 1e-5)
+        np.testing.assert_allclose(y, expect, rtol=1e-4, atol=1e-5)
+
+    def test_resize_resets_split_stats_keeps_eval_stats(self):
+        c = 4
+        st = init_subbn_state(c, 2)
+        st = {**st, "split_mean": jnp.full((2, c), 3.0),
+              "mean": jnp.full((c,), 7.0)}
+        new = resize_subbn_splits(st, 8)
+        assert new["split_mean"].shape == (8, c)
+        np.testing.assert_array_equal(new["split_mean"], 0.0)
+        np.testing.assert_array_equal(new["split_var"], 1.0)
+        np.testing.assert_array_equal(new["mean"], 7.0)

@@ -1,0 +1,121 @@
+"""Split batch-norm ("SubBN") as a pure function over explicit state.
+
+Semantics preserved from the reference ``SubBatchNorm3d`` (x3d.py:9-58):
+
+- Training normalizes each *split* of the batch with its own statistics so
+  the effective BN batch stays constant (``CONST_BN_SIZE`` samples) while
+  multigrid rescales the real batch.  The reference realizes the grouping
+  via ``x.view(n//S, c*S, t, h, w)`` through a ``BatchNorm3d(C*S)``
+  (x3d.py:47-52); unfolding that view shows sample ``n`` lands in split
+  ``n % S`` (strided grouping) and the running stats of split ``s`` live at
+  channels ``[s*C, (s+1)*C)``.  Here the same grouping is a reshape to
+  ``(N//S, S, T, H, W, C)`` with stats reduced over axes ``(0, 2, 3, 4)`` —
+  a pure layout change, no module surgery.
+- One shared affine ``scale/bias`` of width C across all splits
+  (x3d.py:16-20,55-57).
+- Eval uses aggregated stats: mean of split means; mean of split vars plus
+  the variance of split means (x3d.py:27-45), stored separately so training
+  stats keep accumulating.
+- At a long-cycle change the reference *rebuilds* ``split_bn`` with the new
+  split count, discarding split running stats (x3d.py:298-303).
+  :func:`resize_subbn_splits` replicates that deliberately.
+
+Running-stat update matches torch BatchNorm defaults: momentum 0.1,
+eps 1e-5, running variance uses the *unbiased* batch variance.
+
+On a data-parallel mesh, splits are local to each chip (the reference's
+``nn.DataParallel`` computes BN per GPU with no cross-GPU sync — SURVEY
+§5.8); callers inside ``shard_map`` simply pass their local shard.
+"""
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+# State is a plain dict so it round-trips through checkpoints as a pytree:
+#   split_mean, split_var: (S, C)  training running stats, one row per split
+#   mean, var:             (C,)    aggregated stats used in eval
+SubBNState = Dict[str, Any]
+
+EPS = 1e-5
+MOMENTUM = 0.1
+
+
+def init_subbn_state(num_features: int, num_splits: int,
+                     dtype=jnp.float32) -> SubBNState:
+    return {
+        "split_mean": jnp.zeros((num_splits, num_features), dtype),
+        "split_var": jnp.ones((num_splits, num_features), dtype),
+        "mean": jnp.zeros((num_features,), dtype),
+        "var": jnp.ones((num_features,), dtype),
+    }
+
+
+def resize_subbn_splits(state: SubBNState, num_splits: int) -> SubBNState:
+    """Fresh split stats for a new long-cycle split count.
+
+    Mirrors x3d.py:298-303, where ``split_bn`` is recreated (stats reset to
+    0/1) while the aggregated eval stats persist.
+    """
+    c = state["mean"].shape[0]
+    dtype = state["mean"].dtype
+    return {
+        "split_mean": jnp.zeros((num_splits, c), dtype),
+        "split_var": jnp.ones((num_splits, c), dtype),
+        "mean": state["mean"],
+        "var": state["var"],
+    }
+
+
+def aggregate_subbn_stats(state: SubBNState) -> SubBNState:
+    """Fold split running stats into the eval stats (x3d.py:27-45).
+
+    mean = E_s[mean_s];  var = E_s[var_s] + E_s[(mean_s - mean)^2]
+    """
+    sm, sv = state["split_mean"], state["split_var"]
+    mean = jnp.mean(sm, axis=0)
+    var = jnp.mean(sv, axis=0) + jnp.mean((sm - mean[None, :]) ** 2, axis=0)
+    return {**state, "mean": mean, "var": var}
+
+
+def sub_batch_norm(x, scale, bias, state: SubBNState, *, train: bool,
+                   momentum: float = MOMENTUM, eps: float = EPS):
+    """Apply SubBN to ``x`` of shape ``(N, T, H, W, C)``.
+
+    Returns ``(y, new_state)``.  ``N`` must be divisible by the split count
+    during training (guaranteed by the multigrid bucket construction, where
+    per-chip batch = CONST_BN_SIZE * splits * short_multiplier).
+    """
+    c = x.shape[-1]
+    if train:
+        s = state["split_mean"].shape[0]
+        n = x.shape[0]
+        if n % s:
+            raise ValueError(f"batch {n} not divisible by bn_splits {s}")
+        xg = x.reshape(n // s, s, *x.shape[1:])  # sample i*S+s -> split s
+        # Stats in fp32 regardless of activation dtype.
+        xf = xg.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(0, 2, 3, 4))              # (S, C)
+        mean2 = jnp.mean(jnp.square(xf), axis=(0, 2, 3, 4))
+        var = jnp.maximum(mean2 - jnp.square(mean), 0.0)     # biased
+        inv = jax.lax.rsqrt(var + eps)
+        y = (xg - mean[None, :, None, None, None, :].astype(x.dtype)) * \
+            inv[None, :, None, None, None, :].astype(x.dtype)
+        y = y.reshape(x.shape)
+
+        n_per = (n // s) * x.shape[1] * x.shape[2] * x.shape[3]
+        unbias = n_per / max(n_per - 1, 1)
+        new_state = {
+            **state,
+            "split_mean": (1 - momentum) * state["split_mean"] + momentum * mean,
+            "split_var": (1 - momentum) * state["split_var"]
+                         + momentum * (var * unbias),
+        }
+    else:
+        inv = jax.lax.rsqrt(state["var"] + eps)
+        y = (x - state["mean"].astype(x.dtype)) * inv.astype(x.dtype)
+        new_state = state
+
+    y = y * scale.astype(x.dtype) + bias.astype(x.dtype)
+    return y, new_state

@@ -1,0 +1,30 @@
+"""Swish activation with a memory-lean custom VJP.
+
+The reference implements swish as a custom autograd Function whose backward
+recomputes ``sigmoid(x)`` from the saved *input* instead of keeping the
+composed autograd graph (reference: x3d.py:61-84).  On TPU the same trade is
+expressed with :func:`jax.custom_vjp`: only ``x`` is saved as a residual and
+the backward is a single fused VPU expression.
+"""
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.custom_vjp
+def swish(x):
+    """``x * sigmoid(x)`` (a.k.a. SiLU)."""
+    return x * jax.nn.sigmoid(x)
+
+
+def _swish_fwd(x):
+    return x * jax.nn.sigmoid(x), (x,)
+
+
+def _swish_bwd(res, g):
+    (x,) = res
+    s = jax.nn.sigmoid(x)
+    return (g * (s * (1.0 + x * (1.0 - s))),)
+
+
+swish.defvjp(_swish_fwd, _swish_bwd)

@@ -1,0 +1,184 @@
+"""Data-parallel train/eval steps: shard_map over a 1-D mesh.
+
+Design (SURVEY §5.8): the batch is sharded over the ``data`` axis; params,
+momentum and BN state are replicated.  Inside ``shard_map`` each chip runs
+the forward/backward on its local shard with *local* SubBN splits — exactly
+the reference's per-GPU BN semantics (no cross-device BN sync) — then
+gradients are ``pmean``-reduced over ICI.  BN running stats are
+``pmean``-ed too (tiny (S, C) arrays): a deliberate improvement over
+``nn.DataParallel``, which silently keeps only GPU-0's stats.
+
+Loss parity: Kinetics uses mean cross-entropy (train_x3d_kinetics_multigrid
+.py:189,259); Charades uses mean BCE-with-logits (train_x3d_charades.py:122);
+the loc task uses (BCE(max_t) + BCE(per-frame)) / 2 with temporal linear
+interpolation of logits to label length (train_x3d_charades_loc.py:168-189).
+
+One compiled step per multigrid shape bucket; the trainer caches them by
+``IterationPlan.bucket_key``.
+"""
+
+import functools
+from typing import Callable, Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from x3d_multigrid_tpu.models.x3d import X3DConfig, forward
+from x3d_multigrid_tpu.parallel.mesh import DATA_AXIS
+from x3d_multigrid_tpu.train.sgd import sgd_update
+from x3d_multigrid_tpu.ops.interpolate import linear_interp_time
+
+
+class TrainStepOutputs(NamedTuple):
+    loss: jax.Array
+    correct: jax.Array  # summed top-1 correct (class task) or 0.0
+
+
+def cross_entropy(logits, labels):
+    """Mean CE over the batch; labels are int class ids (B,)."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))
+
+
+def bce_with_logits(logits, targets, mask=None):
+    """Mean binary cross-entropy with logits (torch BCEWithLogitsLoss)."""
+    x = logits.astype(jnp.float32)
+    t = targets.astype(jnp.float32)
+    # log(1+e^-|x|) formulation for stability
+    loss = jnp.maximum(x, 0) - x * t + jnp.log1p(jnp.exp(-jnp.abs(x)))
+    if mask is not None:
+        loss = loss * mask
+        return jnp.sum(loss) / jnp.maximum(jnp.sum(mask) * 1.0, 1.0)
+    return jnp.mean(loss)
+
+
+def _kinetics_loss(logits, batch):
+    loss = cross_entropy(logits, batch["label"])
+    correct = jnp.sum(jnp.argmax(logits, -1) == batch["label"]).astype(
+        jnp.float32)
+    return loss, correct
+
+
+def _charades_class_loss(logits, batch):
+    loss = bce_with_logits(logits, batch["label"])
+    return loss, jnp.float32(0.0)
+
+
+def _charades_loc_loss(logits, batch):
+    """logits (B, T, C); labels (B, TL, C); mask (B, TL).
+
+    cls_loss = BCE(max_t logits, max_t labels);
+    loc_loss = BCE(interp(logits, TL), labels);  total = mean/2
+    (train_x3d_charades_loc.py:172-189 — reference BCE is unmasked, padded
+    frames included; preserved for parity.)
+    """
+    labels = batch["label"]
+    tl = labels.shape[1]
+    up = linear_interp_time(logits, tl)  # (B, TL, C)
+    cls_loss = bce_with_logits(jnp.max(up, axis=1), jnp.max(labels, axis=1))
+    loc_loss = bce_with_logits(up, labels)
+    return (cls_loss + loc_loss) / 2.0, jnp.float32(0.0)
+
+
+LOSS_FNS: Dict[str, Callable] = {
+    "kinetics": _kinetics_loss,
+    "charades_class": _charades_class_loss,
+    "charades_loc": _charades_loc_loss,
+}
+
+
+def _cast_tree(tree, dtype):
+    return jax.tree.map(
+        lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, tree)
+
+
+def make_train_step(cfg: X3DConfig, mesh: Mesh, *, loss: str = "kinetics",
+                    momentum: float = 0.9, weight_decay: float = 5e-5,
+                    donate: bool = True, compute_dtype=None):
+    """Build a jitted DP train step.
+
+    Signature of the returned fn:
+      ``(params, mom, bn_state, batch, lr, rng) ->
+        (params, mom, bn_state, TrainStepOutputs)``
+
+    ``batch`` is a dict with ``clip`` (B, T, H, W, C) plus task labels;
+    the batch is sharded over ``data``, everything else replicated.
+    ``lr`` is a scalar (host-fed; changes don't recompile — it is a traced
+    0-d array).
+    """
+    loss_fn = LOSS_FNS[loss]
+    ndev = mesh.devices.size
+
+    def local_step(params, mom, bn_state, batch, lr, rng):
+        # Per-chip rng: fold in the data-axis index so dropout masks differ.
+        idx = jax.lax.axis_index(DATA_AXIS)
+        rng = jax.random.fold_in(rng, idx)
+
+        def compute_loss(p):
+            clip = batch["clip"]
+            if compute_dtype is not None:
+                # bf16 compute with fp32 master weights: cast at use so the
+                # grads (cast transpose) accumulate back in fp32.  BN stats
+                # are always fp32 internally (ops/subbn.py).
+                p = _cast_tree(p, compute_dtype)
+                clip = clip.astype(compute_dtype)
+            logits, new_bn = forward(p, bn_state, clip, cfg=cfg,
+                                     train=True, rng=rng)
+            l, correct = loss_fn(logits, batch)
+            return l, (new_bn, correct)
+
+        (l, (new_bn, correct)), grads = jax.value_and_grad(
+            compute_loss, has_aux=True)(params)
+
+        grads = jax.lax.pmean(grads, DATA_AXIS)
+        new_bn = jax.lax.pmean(new_bn, DATA_AXIS)
+        l = jax.lax.pmean(l, DATA_AXIS)
+        correct = jax.lax.psum(correct, DATA_AXIS)
+
+        new_params, new_mom = sgd_update(
+            params, grads, mom, lr=lr, momentum=momentum,
+            weight_decay=weight_decay)
+        return new_params, new_mom, new_bn, l, correct
+
+    batch_keys = ("clip", "label", "mask") if loss == "charades_loc" \
+        else ("clip", "label")
+    batch_spec = {k: P(DATA_AXIS) for k in batch_keys}
+    rep = P()
+
+    sharded = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(rep, rep, rep, batch_spec, rep, rep),
+        out_specs=(rep, rep, rep, rep, rep),
+        check_vma=False,
+    )
+
+    donate_args = (0, 1, 2) if donate else ()
+
+    @functools.partial(jax.jit, donate_argnums=donate_args)
+    def step(params, mom, bn_state, batch, lr, rng):
+        p, m, bn, l, c = sharded(params, mom, bn_state, batch, lr, rng)
+        return p, m, bn, TrainStepOutputs(loss=l, correct=c)
+
+    return step
+
+
+def make_eval_step(cfg: X3DConfig, mesh: Mesh):
+    """Jitted DP eval forward: returns logits gathered on the host.
+
+    ``batch['clip']``: (B, T, H, W, C) — multi-view eval flattens views
+    into B upstream (the reference's view-folding,
+    train_x3d_kinetics_multigrid.py:241-242).
+    """
+    def local_fwd(params, bn_state, clip):
+        logits, _ = forward(params, bn_state, clip, cfg=cfg, train=False)
+        return logits
+
+    sharded = shard_map(
+        local_fwd, mesh=mesh,
+        in_specs=(P(), P(), P(DATA_AXIS)),
+        out_specs=P(DATA_AXIS),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
