@@ -1,0 +1,182 @@
+"""Host input pipeline: sampling, decode fan-out, batch assembly, prefetch.
+
+TPU-native replacement for the reference's forked multiprocess DataLoader
+(dataloader.py/worker.py): instead of 12 worker processes feeding per-index
+queues, a thread pool decodes clips (JPEG decode releases the GIL in both
+PIL and the native C++ reader) and a background producer keeps a small
+queue of ready uint8 numpy batches that the train loop overlaps with device
+steps.  The multigrid iteration index no longer needs to be smuggled
+through ``Dataset.__getitem__`` (worker.py:178) — the
+:class:`~x3d_multigrid_tpu.multigrid.schedule.MultigridSchedule` plan *is*
+the batch spec.
+"""
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from x3d_multigrid_tpu.data.kinetics import VideoSample, frame_path
+from x3d_multigrid_tpu.data.temporal import (
+    temporal_random_crop, sample_t_stride, eval_temporal_views,
+)
+from x3d_multigrid_tpu.multigrid.schedule import (
+    MultigridSchedule, IterationPlan,
+)
+
+
+class ShuffledIndexStream:
+    """Infinite shuffled index stream (RandomEpochSampler semantics,
+    cycle_batch_sampler.py:4-25): re-permutes every pass."""
+
+    def __init__(self, n: int, seed: int = 0):
+        self.n = n
+        self.rng = np.random.RandomState(seed)
+        self._iter = self._gen()
+
+    def _gen(self):
+        while True:
+            for i in self.rng.permutation(self.n):
+                yield int(i)
+
+    def take(self, k: int) -> List[int]:
+        return [next(self._iter) for _ in range(k)]
+
+
+class Prefetcher:
+    """Runs ``producer`` (a generator) in a background thread, buffering up
+    to ``depth`` items."""
+
+    _DONE = object()
+
+    def __init__(self, producer: Iterator, depth: int = 2):
+        self.q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._err: Optional[BaseException] = None
+
+        def run():
+            try:
+                for item in producer:
+                    self.q.put(item)
+            except BaseException as e:  # propagate into the consumer
+                self._err = e
+            finally:
+                self.q.put(self._DONE)
+
+        self.thread = threading.Thread(target=run, daemon=True)
+        self.thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self.q.get()
+        if item is self._DONE:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item
+
+
+class KineticsTrainLoader:
+    """Multigrid training batches from a Kinetics frame-folder index.
+
+    Yields dicts: ``clip`` (B, T, C0, C0, 3) uint8 (C0 = model crop size),
+    ``flip`` (B,) bool, ``label`` (B,) int32, ``plan`` IterationPlan.
+    The device-side resize to ``plan.crop`` + flip + normalize happens in
+    ops/preprocess.train_preprocess.
+    """
+
+    def __init__(self, samples: Sequence[VideoSample], schedule:
+                 MultigridSchedule, *, reader, short_side: int,
+                 crop_size: int, scales, gamma_tau: int,
+                 num_threads: int = 8, prefetch: int = 2, seed: int = 0):
+        self.samples = list(samples)
+        self.schedule = schedule
+        self.reader = reader
+        self.short_side = short_side
+        self.crop_size = crop_size
+        self.scales = scales
+        self.gamma_tau = gamma_tau
+        self.stream = ShuffledIndexStream(len(self.samples), seed)
+        self.pool = ThreadPoolExecutor(max_workers=num_threads)
+        self.prefetch = prefetch
+        self.seed = seed
+        self._clip_counter = 0
+
+    def _load_clip(self, sample: VideoSample, plan: IterationPlan,
+                   seed: int):
+        rng = np.random.RandomState(seed)
+        t_stride = sample_t_stride(self.schedule.cfg.sample_duration,
+                                   plan.raw_frames, rng)
+        all_indices = list(range(1, sample.n_frames + 1))
+        idx = temporal_random_crop(
+            all_indices, self.schedule.cfg.sample_duration, self.gamma_tau,
+            t_stride, plan.raw_frames, rng)
+        paths = [frame_path(sample.video, i) for i in idx]
+        frames, params = self.reader.clip_train(
+            paths, self.short_side, self.crop_size, self.scales, rng)
+        return frames, params.flip, sample.label
+
+    def _produce(self, num_iterations: int):
+        for plan in self.schedule.epoch(num_iterations):
+            indices = self.stream.take(plan.batch_size)
+            seeds = [self.seed + self._clip_counter + i
+                     for i in range(len(indices))]
+            self._clip_counter += len(indices)
+            futures = [
+                self.pool.submit(self._load_clip, self.samples[j], plan, s)
+                for j, s in zip(indices, seeds)]
+            clips, flips, labels = zip(*(f.result() for f in futures))
+            yield {
+                "clip": np.stack(clips),
+                "flip": np.asarray(flips, bool),
+                "label": np.asarray(labels, np.int32),
+                "plan": plan,
+            }
+
+    def epoch(self, num_iterations: int):
+        return Prefetcher(self._produce(num_iterations),
+                          depth=self.prefetch)
+
+
+class KineticsEvalLoader:
+    """Multi-view validation batches (kinetics.py:205-239): yields
+    ``clip`` (B, n_views, T, R, R, 3) uint8 center-crops + ``label`` (B,)."""
+
+    def __init__(self, samples: Sequence[VideoSample], *, reader,
+                 short_side: int, gamma_tau: int, frames: int,
+                 crops: int = 3, batch_size: int = 16,
+                 num_threads: int = 8, prefetch: int = 2):
+        self.samples = list(samples)
+        self.reader = reader
+        self.short_side = short_side
+        self.gamma_tau = gamma_tau
+        self.frames = frames
+        self.crops = crops
+        self.batch_size = batch_size
+        self.pool = ThreadPoolExecutor(max_workers=num_threads)
+        self.prefetch = prefetch
+
+    def _load_views(self, sample: VideoSample):
+        views = eval_temporal_views(sample.n_frames, self.gamma_tau,
+                                    self.frames, self.crops)
+        # decode the union of needed frames once
+        needed = sorted({i for v in views for i in v})
+        paths = [frame_path(sample.video, i) for i in needed]
+        decoded = self.reader.clip_eval(paths, self.short_side)
+        by_index = {i: decoded[k] for k, i in enumerate(needed)}
+        clips = np.stack([np.stack([by_index[i] for i in v]) for v in views])
+        return clips, sample.label
+
+    def _produce(self):
+        for start in range(0, len(self.samples), self.batch_size):
+            chunk = self.samples[start:start + self.batch_size]
+            futures = [self.pool.submit(self._load_views, s) for s in chunk]
+            clips, labels = zip(*(f.result() for f in futures))
+            yield {"clip": np.stack(clips),
+                   "label": np.asarray(labels, np.int32)}
+
+    def __iter__(self):
+        return iter(Prefetcher(self._produce(), depth=self.prefetch))

@@ -39,6 +39,7 @@ class APMeter:
                 raise ValueError("class count changed mid-stream")
             self._scores = np.empty((max(n_new, 16), k), np.float64)
             self._targets = np.empty((max(n_new, 16), k), np.int64)
+            self._weights = np.empty((max(n_new, 16),), np.float64)
             cap = self._scores.shape[0]
         if self._n + n_new > cap:
             new_cap = max(int(np.ceil(cap * 1.5)) + n_new, self._n + n_new)

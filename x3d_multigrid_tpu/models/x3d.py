@@ -68,14 +68,21 @@ class X3DConfig:
     widen_factor: float = 1.0
     task: str = "class"  # 'class' | 'loc'
     fc1_dim: int = 2048
+    # Overrides for custom model sizes (None -> version tables).
+    blocks_override: Optional[Tuple[int, ...]] = None
+    inplanes_override: Optional[Tuple[Tuple[int, int], ...]] = None
 
     @property
     def block_inplanes(self) -> List[Tuple[int, int]]:
+        planes = (self.inplanes_override if self.inplanes_override is not None
+                  else _INPLANES[self.version])
         w = self.widen_factor
-        return [(int(x * w), int(y * w)) for x, y in _INPLANES[self.version]]
+        return [(int(x * w), int(y * w)) for x, y in planes]
 
     @property
     def stage_blocks(self) -> List[int]:
+        if self.blocks_override is not None:
+            return list(self.blocks_override)
         return _BLOCKS[self.version]
 
 

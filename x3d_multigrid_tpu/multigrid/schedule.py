@@ -154,6 +154,12 @@ class MultigridSchedule:
     # -- CycleBatchSampler.adjust_long_cycle (cycle_batch_sampler.py:76-95) --
     def _adjust_long_cycle(self) -> None:
         if self.iteration_counter > self.schedule[self.phase]:
+            if self.phase >= len(self.schedule) - 1:
+                # past the schedule's end (e.g. a trailing partial epoch):
+                # stay in the final no-cycling phase instead of the
+                # reference's implicit hard stop at the sampler's length
+                self.long_cycle_index = -1
+                return
             self.iter_offset = self.schedule[self.phase]
             self.phase += 1
             self.phase_steps = (self.schedule[self.phase]

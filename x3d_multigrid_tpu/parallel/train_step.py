@@ -96,28 +96,44 @@ def _cast_tree(tree, dtype):
 
 def make_train_step(cfg: X3DConfig, mesh: Mesh, *, loss: str = "kinetics",
                     momentum: float = 0.9, weight_decay: float = 5e-5,
-                    donate: bool = True, compute_dtype=None):
+                    donate: bool = True, compute_dtype=None,
+                    preprocess_mean_std=None):
     """Build a jitted DP train step.
 
     Signature of the returned fn:
-      ``(params, mom, bn_state, batch, lr, rng) ->
+      ``(params, mom, bn_state, batch, lr, rng[, out_size]) ->
         (params, mom, bn_state, TrainStepOutputs)``
 
-    ``batch`` is a dict with ``clip`` (B, T, H, W, C) plus task labels;
-    the batch is sharded over ``data``, everything else replicated.
-    ``lr`` is a scalar (host-fed; changes don't recompile — it is a traced
-    0-d array).
-    """
-    loss_fn = LOSS_FNS[loss]
-    ndev = mesh.devices.size
+    ``batch`` is a dict with ``clip`` plus task labels; the batch is
+    sharded over ``data``, everything else replicated.  ``lr`` is a scalar
+    (host-fed; changes don't recompile — it is a traced 0-d array).
 
-    def local_step(params, mom, bn_state, batch, lr, rng):
+    With ``preprocess_mean_std=(mean, std)`` the step fuses the on-device
+    input stage (ops/preprocess.py): ``batch['clip']`` is then uint8
+    ``(B, T, C0, C0, 3)`` with a ``batch['flip']`` bool vector, and the
+    static ``out_size`` kwarg selects the short-cycle resize target.
+    ``out_size`` must be static because distinct multigrid buckets can
+    share the uint8 input shape while differing in output crop.
+    """
+    from x3d_multigrid_tpu.ops.preprocess import train_preprocess_impl
+
+    loss_fn = LOSS_FNS[loss]
+    if preprocess_mean_std is not None:
+        pp_mean = jnp.asarray(preprocess_mean_std[0], jnp.float32)
+        pp_std = jnp.asarray(preprocess_mean_std[1], jnp.float32)
+
+    def local_step(params, mom, bn_state, batch, lr, rng, out_size):
         # Per-chip rng: fold in the data-axis index so dropout masks differ.
         idx = jax.lax.axis_index(DATA_AXIS)
         rng = jax.random.fold_in(rng, idx)
 
         def compute_loss(p):
-            clip = batch["clip"]
+            if preprocess_mean_std is not None:
+                clip = train_preprocess_impl(
+                    batch["clip"], batch["flip"], pp_mean, pp_std,
+                    out_size=out_size)
+            else:
+                clip = batch["clip"]
             if compute_dtype is not None:
                 # bf16 compute with fp32 master weights: cast at use so the
                 # grads (cast transpose) accumulate back in fp32.  BN stats
@@ -142,43 +158,65 @@ def make_train_step(cfg: X3DConfig, mesh: Mesh, *, loss: str = "kinetics",
             weight_decay=weight_decay)
         return new_params, new_mom, new_bn, l, correct
 
-    batch_keys = ("clip", "label", "mask") if loss == "charades_loc" \
-        else ("clip", "label")
+    batch_keys = ["clip", "label"]
+    if loss == "charades_loc":
+        batch_keys.append("mask")
+    if preprocess_mean_std is not None:
+        batch_keys.append("flip")
     batch_spec = {k: P(DATA_AXIS) for k in batch_keys}
     rep = P()
 
-    sharded = shard_map(
-        local_step, mesh=mesh,
-        in_specs=(rep, rep, rep, batch_spec, rep, rep),
-        out_specs=(rep, rep, rep, rep, rep),
-        check_vma=False,
-    )
-
     donate_args = (0, 1, 2) if donate else ()
 
-    @functools.partial(jax.jit, donate_argnums=donate_args)
-    def step(params, mom, bn_state, batch, lr, rng):
+    @functools.partial(jax.jit, donate_argnums=donate_args,
+                       static_argnames=("out_size",))
+    def step(params, mom, bn_state, batch, lr, rng, out_size=None):
+        sharded = shard_map(
+            functools.partial(local_step, out_size=out_size),
+            mesh=mesh,
+            in_specs=(rep, rep, rep, batch_spec, rep, rep),
+            out_specs=(rep, rep, rep, rep, rep),
+            check_vma=False,
+        )
         p, m, bn, l, c = sharded(params, mom, bn_state, batch, lr, rng)
         return p, m, bn, TrainStepOutputs(loss=l, correct=c)
 
     return step
 
 
-def make_eval_step(cfg: X3DConfig, mesh: Mesh):
+def make_eval_step(cfg: X3DConfig, mesh: Mesh, *, compute_dtype=None,
+                   preprocess_mean_std=None):
     """Jitted DP eval forward: returns logits gathered on the host.
 
-    ``batch['clip']``: (B, T, H, W, C) — multi-view eval flattens views
-    into B upstream (the reference's view-folding,
-    train_x3d_kinetics_multigrid.py:241-242).
+    ``clip``: (B, T, H, W, C) float — or uint8 center-crop squares when
+    ``preprocess_mean_std`` is given (then pass static ``out_size``).
+    Multi-view eval flattens views into B upstream (the reference's
+    view-folding, train_x3d_kinetics_multigrid.py:241-242).
     """
-    def local_fwd(params, bn_state, clip):
-        logits, _ = forward(params, bn_state, clip, cfg=cfg, train=False)
-        return logits
+    from x3d_multigrid_tpu.ops.preprocess import eval_preprocess_impl
 
-    sharded = shard_map(
-        local_fwd, mesh=mesh,
-        in_specs=(P(), P(), P(DATA_AXIS)),
-        out_specs=P(DATA_AXIS),
-        check_vma=False,
-    )
-    return jax.jit(sharded)
+    if preprocess_mean_std is not None:
+        pp_mean = jnp.asarray(preprocess_mean_std[0], jnp.float32)
+        pp_std = jnp.asarray(preprocess_mean_std[1], jnp.float32)
+
+    def local_fwd(params, bn_state, clip, out_size):
+        if preprocess_mean_std is not None:
+            clip = eval_preprocess_impl(clip, pp_mean, pp_std,
+                                        out_size=out_size)
+        if compute_dtype is not None:
+            params = _cast_tree(params, compute_dtype)
+            clip = clip.astype(compute_dtype)
+        logits, _ = forward(params, bn_state, clip, cfg=cfg, train=False)
+        return logits.astype(jnp.float32)
+
+    @functools.partial(jax.jit, static_argnames=("out_size",))
+    def step(params, bn_state, clip, out_size=None):
+        return shard_map(
+            functools.partial(local_fwd, out_size=out_size),
+            mesh=mesh,
+            in_specs=(P(), P(), P(DATA_AXIS)),
+            out_specs=P(DATA_AXIS),
+            check_vma=False,
+        )(params, bn_state, clip)
+
+    return step

@@ -1,0 +1,337 @@
+"""Charades fine-tune recipes: multi-label classification and temporal
+localization (reference train_x3d_charades.py / train_x3d_charades_loc.py,
+rebuilt TPU-first).
+
+Shared skeleton: X3D-M initialized from a Kinetics checkpoint with the
+classifier head swapped to 157 classes (replace_logits), base_bn_splits=1
+(no multigrid), SGD + ReduceLROnPlateau on val loss, BCE-with-logits loss,
+mAP via the streaming APMeter; val every 2 train epochs with aggregated
+SubBN stats.  Classification evaluates 10 temporal views reduced by max;
+localization interpolates per-frame logits to label resolution and computes
+masked per-sample AP.
+
+Run ``python -m x3d_multigrid_tpu.train.recipes.charades --task class
+--synthetic`` for a dataset-free smoke run.
+"""
+
+import argparse
+import dataclasses
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from x3d_multigrid_tpu.models import (
+    x3d_config, init_params, init_bn_state, replace_logits,
+    aggregate_all_subbn,
+)
+from x3d_multigrid_tpu.models.x3d import CROP_SIZE, RESIZE_SIZE
+from x3d_multigrid_tpu.parallel import (
+    data_mesh, make_train_step, make_eval_step,
+)
+from x3d_multigrid_tpu.train import init_momentum, PlateauLRController
+from x3d_multigrid_tpu.train.checkpoint import (
+    save_checkpoint, load_checkpoint, load_torch_checkpoint,
+)
+from x3d_multigrid_tpu.ops.interpolate import linear_interp_time
+from x3d_multigrid_tpu.evaluate import APMeter, multiview_max_probs
+from x3d_multigrid_tpu.utils import MetricLogger
+
+CHARADES_MEAN = np.array([0.413, 0.368, 0.338])
+CHARADES_STD = np.array([0.131, 0.125, 0.132])
+
+
+@dataclasses.dataclass
+class CharadesRecipe:
+    """Reference constants (train_x3d_charades.py:38-50,116-117)."""
+    task: str = "class"                  # 'class' | 'loc'
+    version: str = "M"
+    n_classes: int = 157
+    batch_size: int = 32                 # BS * BS_UPSCALE
+    max_epochs: int = 100
+    init_lr: float = 0.04                # 0.02 * BS_UPSCALE
+    weight_decay: float = 1e-5
+    sgd_momentum: float = 0.9
+    frames: int = 80                     # doubled in the dataset (=160 raw)
+    gamma_tau: int = 5                   # doubled in the dataset (=10)
+    val_crops: int = 10
+    ckpt_every_steps: int = 1000
+    train_epochs_per_val: int = 2
+    out_dir: str = "runs/charades"
+    num_devices: Optional[int] = None
+    compute_dtype: Optional[str] = "bf16"
+    short_side: int = 256
+    crop_size_override: Optional[int] = None
+    model_overrides: Optional[dict] = None
+
+    @property
+    def crop_size(self) -> int:
+        return self.crop_size_override or CROP_SIZE[self.version]
+
+    @property
+    def model_frames(self) -> int:
+        return (2 * self.frames) // (2 * self.gamma_tau)  # 16 for defaults
+
+
+class CharadesTrainer:
+    """Owns state for both Charades tasks."""
+
+    def __init__(self, recipe: CharadesRecipe, *, seed: int = 0,
+                 pretrained: Optional[str] = None,
+                 logger: Optional[MetricLogger] = None):
+        self.recipe = recipe
+        self.logger = logger or MetricLogger()
+        self.mesh = data_mesh(recipe.num_devices)
+        task = "loc" if recipe.task == "loc" else "class"
+        self.cfg = x3d_config(recipe.version, n_classes=400, task=task,
+                              **(recipe.model_overrides or {}))
+
+        key = jax.random.PRNGKey(seed)
+        if pretrained and pretrained.endswith(".pt"):
+            self.params, self.bn_state, _ = load_torch_checkpoint(
+                pretrained, self.cfg)
+            self.params = jax.tree.map(jnp.asarray, self.params)
+            self.bn_state = jax.tree.map(jnp.asarray, self.bn_state)
+            self.logger.log("pretrained", path=pretrained)
+        elif pretrained:
+            ck = load_checkpoint(pretrained)
+            self.params = jax.tree.map(jnp.asarray, ck["params"])
+            self.bn_state = jax.tree.map(jnp.asarray, ck["bn_state"])
+            self.logger.log("pretrained", path=pretrained)
+        else:
+            self.params = init_params(key, self.cfg)
+            self.bn_state = init_bn_state(self.cfg, 1)
+        # swap the head to 157 classes (train_x3d_charades.py:102)
+        self.params = replace_logits(self.params, jax.random.fold_in(key, 1),
+                                     recipe.n_classes)
+        self.cfg = dataclasses.replace(self.cfg, n_classes=recipe.n_classes)
+        # base_bn_splits=1: collapse split stats to a single split
+        from x3d_multigrid_tpu.models import resize_bn_splits
+        self.bn_state = resize_bn_splits(self.bn_state, 1)
+
+        self.momentum = init_momentum(self.params)
+        self.step_count = 0
+        self.epochs = 0
+
+        dtype = {"bf16": jnp.bfloat16, "fp32": None,
+                 None: None}[recipe.compute_dtype]
+        loss = "charades_loc" if task == "loc" else "charades_class"
+        self.train_step = make_train_step(
+            self.cfg, self.mesh, loss=loss, momentum=recipe.sgd_momentum,
+            weight_decay=recipe.weight_decay, donate=True,
+            compute_dtype=dtype,
+            preprocess_mean_std=(CHARADES_MEAN, CHARADES_STD))
+        self.eval_step = make_eval_step(
+            self.cfg, self.mesh, compute_dtype=dtype,
+            preprocess_mean_std=(CHARADES_MEAN, CHARADES_STD))
+        self.lr_ctrl = PlateauLRController(recipe.init_lr)
+        self.rng = jax.random.PRNGKey(seed + 1)
+        self.train_apm = APMeter()
+
+    def train_batch(self, batch) -> dict:
+        """``batch``: uint8 ``clip`` (B,T,C0,C0,3), ``flip`` (B,),
+        ``label`` (B,C) class / (B,TL,C) loc, optional ``mask`` (B,TL)."""
+        self.rng, step_rng = jax.random.split(self.rng)
+        feed = {"clip": jnp.asarray(batch["clip"]),
+                "flip": jnp.asarray(batch["flip"]),
+                "label": jnp.asarray(batch["label"])}
+        if "mask" in batch:
+            feed["mask"] = jnp.asarray(batch["mask"])
+        self.params, self.momentum, self.bn_state, out = self.train_step(
+            self.params, self.momentum, self.bn_state, feed,
+            jnp.float32(self.lr_ctrl.lr), step_rng,
+            out_size=self.recipe.crop_size)
+        self.step_count += 1
+        return {"loss": out.loss}
+
+    # -- evaluation ---------------------------------------------------------
+    def eval_class_epoch(self, loader) -> dict:
+        """10-view max-reduced mAP + val loss
+        (train_x3d_charades.py:158-174,208-213)."""
+        from x3d_multigrid_tpu.parallel.train_step import bce_with_logits
+        agg = aggregate_all_subbn(self.bn_state)
+        apm = APMeter()
+        tot_loss, n_batches = 0.0, 0
+        for batch in loader:
+            clips = batch["clip"]  # (B, n, T, R, R, 3) uint8
+            b, n = clips.shape[:2]
+            flat = clips.reshape((b * n,) + clips.shape[2:])
+            logits = self.eval_step(self.params, agg, jnp.asarray(flat),
+                                    out_size=self.recipe.crop_size)
+            probs, max_logits = multiview_max_probs(logits, n)
+            labels = jnp.asarray(batch["label"])
+            tot_loss += float(bce_with_logits(max_logits, labels))
+            n_batches += 1
+            apm.add(np.asarray(probs), np.asarray(batch["label"]))
+        val_loss = tot_loss / max(n_batches, 1)
+        m = apm.mean()
+        lr = self.lr_ctrl.step(val_loss)
+        self.logger.log("val", epoch=self.epochs, map=m, loss=val_loss,
+                        lr=lr)
+        return {"map": m, "loss": val_loss}
+
+    def eval_loc_epoch(self, loader) -> dict:
+        """Per-frame masked AP on interpolated logits
+        (train_x3d_charades_loc.py:168-186)."""
+        from x3d_multigrid_tpu.parallel.train_step import _charades_loc_loss
+        agg = aggregate_all_subbn(self.bn_state)
+        apm = APMeter()
+        tot_loss, n_batches = 0.0, 0
+        for batch in loader:
+            clips = batch["clip"]  # (B, T, R, R, 3) uint8, padded
+            logits = self.eval_step(self.params, agg, jnp.asarray(clips),
+                                    out_size=self.recipe.crop_size)
+            labels = batch["label"]     # (B, TL, C)
+            mask = batch["mask"]        # (B, TL)
+            loss, _ = _charades_loc_loss(
+                jnp.asarray(logits),
+                {"label": jnp.asarray(labels), "mask": jnp.asarray(mask)})
+            tot_loss += float(loss)
+            n_batches += 1
+            up = np.asarray(linear_interp_time(jnp.asarray(logits),
+                                               labels.shape[1]))
+            probs = 1.0 / (1.0 + np.exp(-up)) * mask[..., None]
+            for i in range(labels.shape[0]):
+                t_valid = int(mask[i].sum())
+                apm.add(probs[i, :t_valid], labels[i, :t_valid])
+        val_loss = tot_loss / max(n_batches, 1)
+        m = apm.mean()
+        lr = self.lr_ctrl.step(val_loss)
+        self.logger.log("val", epoch=self.epochs, map=m, loss=val_loss,
+                        lr=lr)
+        return {"map": m, "loss": val_loss}
+
+    def save(self, path: Optional[str] = None):
+        path = path or os.path.join(
+            self.recipe.out_dir,
+            f"ckpt_{self.recipe.task}_{self.step_count:06d}")
+        save_checkpoint(path, params=self.params, bn_state=self.bn_state,
+                        momentum=self.momentum,
+                        meta={"step": self.step_count,
+                              "epochs": self.epochs,
+                              **{f"lr_{k}": v for k, v in
+                                 self.lr_ctrl.state_dict().items()
+                                 if v is not None}})
+        self.logger.log("checkpoint", path=path, step=self.step_count)
+        return path
+
+
+def run_synthetic(recipe: CharadesRecipe, *, iterations: int = 4,
+                  logger: Optional[MetricLogger] = None):
+    """Dataset-free smoke run for either task."""
+    rng = np.random.RandomState(0)
+    trainer = CharadesTrainer(recipe, logger=logger)
+    b, t, c0 = recipe.batch_size, recipe.model_frames, recipe.crop_size
+    for i in range(iterations):
+        batch = {
+            "clip": rng.randint(0, 255, (b, t, c0, c0, 3), np.uint8),
+            "flip": rng.rand(b) < 0.5,
+        }
+        if recipe.task == "loc":
+            tl = 2 * recipe.frames
+            batch["label"] = (rng.rand(b, tl, recipe.n_classes) > 0.95
+                              ).astype(np.float32)
+            batch["mask"] = np.ones((b, tl), np.float32)
+        else:
+            batch["label"] = (rng.rand(b, recipe.n_classes) > 0.9
+                              ).astype(np.float32)
+        out = trainer.train_batch(batch)
+        trainer.logger.log("train", step=trainer.step_count,
+                           loss=float(out["loss"]))
+    return trainer
+
+
+def run(recipe: CharadesRecipe, *, root: str, anno: str,
+        pretrained: Optional[str] = None, resume: Optional[str] = None):
+    """Full fine-tune loop (train_x3d_charades*.py run())."""
+    from x3d_multigrid_tpu.data.charades_loader import (
+        CharadesTrainLoader, CharadesEvalLoader,
+    )
+    from x3d_multigrid_tpu.data.charades import scan_charades
+    from x3d_multigrid_tpu.data.reader import default_reader
+    from x3d_multigrid_tpu.data.spatial import train_scales
+
+    logger = MetricLogger(os.path.join(recipe.out_dir,
+                                       f"{recipe.task}_log.jsonl"))
+    trainer = CharadesTrainer(recipe, pretrained=pretrained, logger=logger)
+
+    reader = default_reader()
+    scales = train_scales(recipe.crop_size, RESIZE_SIZE[recipe.version])
+    train_videos = scan_charades(anno, "training", root)
+    test_videos = scan_charades(anno, "testing", root)
+    loader = CharadesTrainLoader(
+        train_videos, root, reader=reader, task=recipe.task,
+        batch_size=recipe.batch_size, frames=2 * recipe.frames,
+        gamma_tau=2 * recipe.gamma_tau, short_side=recipe.short_side,
+        crop_size=recipe.crop_size, scales=scales)
+    val_loader = CharadesEvalLoader(
+        test_videos, root, reader=reader, task=recipe.task,
+        batch_size=max(recipe.batch_size // 2, 1),
+        frames=2 * recipe.frames, gamma_tau=2 * recipe.gamma_tau,
+        short_side=recipe.short_side, crops=recipe.val_crops)
+
+    ipe = max(len(train_videos) // recipe.batch_size, 1)
+    while trainer.epochs < recipe.max_epochs:
+        for phase in recipe.train_epochs_per_val * ["train"] + ["val"]:
+            if phase == "train":
+                trainer.epochs += 1
+                pending = []
+                for batch in loader.epoch():
+                    out = trainer.train_batch(batch)
+                    pending.append(out["loss"])
+                    if trainer.step_count % max(ipe // 2, 1) == 0:
+                        logger.log("train", epoch=trainer.epochs,
+                                   step=trainer.step_count,
+                                   loss=float(jnp.mean(jnp.stack(pending))))
+                        pending = []
+                    if trainer.step_count % recipe.ckpt_every_steps == 0:
+                        trainer.save()
+            else:
+                if recipe.task == "loc":
+                    trainer.eval_loc_epoch(val_loader)
+                else:
+                    trainer.eval_class_epoch(val_loader)
+    return trainer
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--task", default="class", choices=["class", "loc"])
+    ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--iterations", type=int, default=4)
+    ap.add_argument("--root")
+    ap.add_argument("--anno")
+    ap.add_argument("--pretrained")
+    ap.add_argument("--batch-size", type=int, default=None)
+    ap.add_argument("--out-dir", default="runs/charades")
+    ap.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
+    ap.add_argument("--tiny", action="store_true")
+    args = ap.parse_args()
+
+    kw = dict(task=args.task, out_dir=args.out_dir,
+              compute_dtype=args.dtype)
+    if args.batch_size:
+        kw["batch_size"] = args.batch_size
+    if args.tiny:
+        kw.update(
+            frames=16, gamma_tau=2, crop_size_override=32, short_side=40,
+            model_overrides=dict(
+                blocks_override=(1, 1, 1, 1),
+                inplanes_override=((12, 8), (16, 8), (24, 16), (32, 16)),
+                fc1_dim=32))
+        kw.setdefault("batch_size", 4)
+    recipe = CharadesRecipe(**kw)
+
+    if args.synthetic:
+        run_synthetic(recipe, iterations=args.iterations)
+    else:
+        if not (args.root and args.anno):
+            ap.error("need --root and --anno (or --synthetic)")
+        run(recipe, root=args.root, anno=args.anno,
+            pretrained=args.pretrained)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,421 @@
+"""Kinetics-400 multigrid training recipe (the reference's main entry point,
+train_x3d_kinetics_multigrid.py:108-319, rebuilt TPU-first).
+
+Differences from the reference by design:
+- One ``jax.jit`` train step serves every multigrid shape bucket (XLA's jit
+  cache keys on shapes); ``precompile()`` warms all 10 buckets up front so
+  no compile stalls land mid-training.
+- The multigrid state machine is the host-side
+  :class:`~x3d_multigrid_tpu.multigrid.schedule.MultigridSchedule`; at a
+  long-cycle change the BN split state is resized functionally and the LR
+  scaled, mirroring update_bn_splits_long_cycle + the param-group edit
+  (train_x3d_kinetics_multigrid.py:227-234).
+- Input batches arrive as uint8 crops; resize/flip/normalize run fused on
+  device (ops/preprocess.py).
+- Validation aggregates SubBN stats and runs 3-view softmax-mean Top-1
+  (train_x3d_kinetics_multigrid.py:204-205,239-257).
+
+Run ``python -m x3d_multigrid_tpu.train.recipes.kinetics_multigrid
+--synthetic`` for a dataset-free smoke run.
+"""
+
+import argparse
+import dataclasses
+import os
+import time
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from x3d_multigrid_tpu.models import (
+    x3d_config, init_params, init_bn_state, resize_bn_splits,
+    aggregate_all_subbn,
+)
+from x3d_multigrid_tpu.models.x3d import CROP_SIZE, RESIZE_SIZE, GAMMA_TAU
+from x3d_multigrid_tpu.multigrid import (
+    MultigridConfig, MultigridSchedule, enumerate_buckets,
+)
+from x3d_multigrid_tpu.parallel import (
+    data_mesh, make_train_step, make_eval_step,
+)
+from x3d_multigrid_tpu.train import init_momentum, LRController
+from x3d_multigrid_tpu.train.checkpoint import (
+    save_checkpoint, load_checkpoint,
+)
+from x3d_multigrid_tpu.evaluate import multiview_softmax_top1
+from x3d_multigrid_tpu.data.spatial import train_scales
+from x3d_multigrid_tpu.utils import MetricLogger, StepTimer
+
+KINETICS_MEAN = np.array([110.63666788, 103.16065604, 96.29023126]) / 255.0
+KINETICS_STD = np.array([38.7568578, 37.88248729, 40.02898126]) / 255.0
+
+
+@dataclasses.dataclass
+class KineticsRecipe:
+    """Tunables of the reference recipe (constants at
+    train_x3d_kinetics_multigrid.py:49-67,108-123), as a real config."""
+    version: str = "M"
+    n_classes: int = 400
+    batch_size: int = 128                # BS * BS_UPSCALE
+    max_epochs: int = 120
+    dataset_size: int = 220000
+    warmup_steps: int = 8000
+    init_lr: Optional[float] = None      # default: linear scaling 1.6/1024*B
+    weight_decay: float = 5e-5
+    sgd_momentum: float = 0.9
+    base_bs_per_replica: int = 32        # BASE_BS_PER_GPU
+    const_bn_size: int = 8
+    long_cycle: Tuple[int, ...] = (8, 4, 2, 1)
+    long_cycle_lr_scale: Tuple[float, ...] = (8, 0.5, 0.5, 0.5)
+    frames: int = 80
+    val_crops: int = 3
+    ckpt_every_steps: int = 4000
+    train_epochs_per_val: int = 4
+    out_dir: str = "runs/kinetics_multigrid"
+    num_devices: Optional[int] = None
+    compute_dtype: Optional[str] = "bf16"
+    short_side: int = 256                # host decode canonical short side
+    # Smoke-run overrides (None -> per-version defaults)
+    crop_size_override: Optional[int] = None
+    gamma_tau_override: Optional[int] = None
+    model_overrides: Optional[dict] = None  # extra X3DConfig kwargs
+
+    @property
+    def lr(self) -> float:
+        return self.init_lr if self.init_lr is not None \
+            else (1.6 / 1024) * self.batch_size
+
+    @property
+    def crop_size(self) -> int:
+        return self.crop_size_override or CROP_SIZE[self.version]
+
+    @property
+    def gamma_tau(self) -> int:
+        return self.gamma_tau_override or GAMMA_TAU[self.version]
+
+    @property
+    def base_bn_splits(self) -> int:
+        return self.base_bs_per_replica // self.const_bn_size
+
+    @property
+    def iterations_per_epoch(self) -> int:
+        return self.dataset_size // self.batch_size
+
+    def multigrid_config(self) -> MultigridConfig:
+        return MultigridConfig(
+            base_batch_size=self.batch_size,
+            total_iterations=self.max_epochs * self.iterations_per_epoch,
+            long_cycle=self.long_cycle,
+            long_cycle_lr_scale=self.long_cycle_lr_scale,
+            sample_duration=self.frames,
+            crop_size=self.crop_size,
+            gamma_tau=self.gamma_tau,
+            base_bn_splits=self.base_bn_splits,
+        )
+
+
+class MultigridTrainer:
+    """Owns model/optimizer state and the schedule-driven step dispatch."""
+
+    def __init__(self, recipe: KineticsRecipe, *, seed: int = 0,
+                 logger: Optional[MetricLogger] = None):
+        self.recipe = recipe
+        self.logger = logger or MetricLogger()
+        self.mesh = data_mesh(recipe.num_devices)
+        self.ndev = self.mesh.devices.size
+        self.cfg = x3d_config(recipe.version, n_classes=recipe.n_classes,
+                              **(recipe.model_overrides or {}))
+        self.mcfg = recipe.multigrid_config()
+
+        # Per-chip batch must divide into bn_splits groups at every bucket:
+        # batch * mult / (ndev * base_bn_splits) must be integral (mult>=1),
+        # i.e. batch % (ndev * base_bn_splits) == 0.
+        div = self.ndev * recipe.base_bn_splits
+        if recipe.batch_size % div:
+            raise ValueError(
+                f"batch_size {recipe.batch_size} must be a multiple of "
+                f"num_devices*base_bn_splits = {self.ndev}*"
+                f"{recipe.base_bn_splits} = {div} so each chip's shard "
+                f"splits into SubBN groups")
+
+        key = jax.random.PRNGKey(seed)
+        self.params = init_params(key, self.cfg)
+        self.momentum = init_momentum(self.params)
+        self.bn_splits = recipe.base_bn_splits * recipe.long_cycle[0]
+        self.bn_state = init_bn_state(self.cfg, self.bn_splits)
+        self.step_count = 0
+        self.epochs = 0
+
+        dtype = {"bf16": jnp.bfloat16, "fp32": None,
+                 None: None}[recipe.compute_dtype]
+        self.train_step = make_train_step(
+            self.cfg, self.mesh, loss="kinetics",
+            momentum=recipe.sgd_momentum, weight_decay=recipe.weight_decay,
+            donate=True, compute_dtype=dtype,
+            preprocess_mean_std=(KINETICS_MEAN, KINETICS_STD))
+        self.eval_step = make_eval_step(
+            self.cfg, self.mesh, compute_dtype=dtype,
+            preprocess_mean_std=(KINETICS_MEAN, KINETICS_STD))
+
+        self.schedule = MultigridSchedule(self.mcfg,
+                                          cur_iterations=self.step_count)
+        self.lr_ctrl = LRController(
+            recipe.lr, warmup_steps=recipe.warmup_steps,
+            milestones=self.mcfg.lr_milestones)
+        self.timer = StepTimer()
+        self.rng = jax.random.PRNGKey(seed + 1)
+
+    # -- multigrid transitions ---------------------------------------------
+    def _maybe_transition(self, plan):
+        if plan.bn_splits != self.bn_splits:
+            # fresh split stats, mirroring x3d.py:298-303
+            self.bn_state = resize_bn_splits(self.bn_state, plan.bn_splits)
+            self.bn_splits = plan.bn_splits
+        if plan.lr_scale is not None:
+            lr = self.lr_ctrl.on_long_cycle(plan.lr_scale)
+            self.logger.log(
+                "multigrid", long_ind=plan.long_cycle_index,
+                frames=plan.frames, crop=plan.crop,
+                batch=plan.batch_size, bn_splits=plan.bn_splits, lr=lr)
+
+    # -- steps --------------------------------------------------------------
+    def train_batch(self, batch) -> dict:
+        """One iteration.  ``batch``: uint8 ``clip`` (B,T,C0,C0,3), ``flip``
+        (B,), ``label`` (B,), ``plan``.  Resize/flip/normalize run inside
+        the sharded step (static ``out_size`` = short-cycle crop)."""
+        plan = batch["plan"]
+        self._maybe_transition(plan)
+        lr = self.lr_ctrl.step_lr(self.step_count)
+
+        self.timer.start(plan.bucket_key)
+        self.rng, step_rng = jax.random.split(self.rng)
+        self.params, self.momentum, self.bn_state, out = self.train_step(
+            self.params, self.momentum, self.bn_state,
+            {"clip": jnp.asarray(batch["clip"]),
+             "flip": jnp.asarray(batch["flip"]),
+             "label": jnp.asarray(batch["label"])},
+            jnp.float32(lr), step_rng, out_size=plan.crop)
+        self.step_count += 1
+        self.timer.stop()
+        return {"loss": out.loss, "correct": out.correct, "lr": lr,
+                "batch_size": plan.batch_size}
+
+    def precompile(self):
+        """Compile every bucket's step up-front on throwaway cloned state
+        (the live trees must not be donated here)."""
+        t0 = time.time()
+        c0 = self.recipe.crop_size
+        for b in enumerate_buckets(self.mcfg):
+            params_c = jax.tree.map(jnp.copy, self.params)
+            mom_c = jax.tree.map(jnp.copy, self.momentum)
+            bn_c = init_bn_state(self.cfg, b.bn_splits)
+            batch = {
+                "clip": jnp.zeros((b.batch_size, b.frames, c0, c0, 3),
+                                  jnp.uint8),
+                "flip": jnp.zeros((b.batch_size,), bool),
+                "label": jnp.zeros((b.batch_size,), jnp.int32),
+            }
+            _, _, _, out = self.train_step(
+                params_c, mom_c, bn_c, batch, jnp.float32(0.0),
+                jax.random.PRNGKey(0), out_size=b.crop)
+            jax.block_until_ready(out.loss)
+        self.logger.log("precompile", seconds=time.time() - t0,
+                        buckets=len(enumerate_buckets(self.mcfg)))
+
+    def eval_epoch(self, loader) -> float:
+        """3-view Top-1 over a validation loader (SubBN stats aggregated
+        first, as the reference does before every val pass)."""
+        agg_state = aggregate_all_subbn(self.bn_state)
+        correct = total = 0
+        for batch in loader:
+            clips = batch["clip"]           # (B, n, T, R, R, 3) uint8
+            b, n = clips.shape[:2]
+            flat = clips.reshape((b * n,) + clips.shape[2:])
+            logits = self.eval_step(self.params, agg_state,
+                                    jnp.asarray(flat),
+                                    out_size=self.recipe.crop_size)
+            _, preds, _ = multiview_softmax_top1(logits, n)
+            correct += int(np.sum(np.asarray(preds) == batch["label"]))
+            total += b
+        acc = correct / max(total, 1)
+        self.logger.log("val", epoch=self.epochs, top1=acc, samples=total)
+        return acc
+
+    # -- checkpointing ------------------------------------------------------
+    def save(self, path: Optional[str] = None):
+        path = path or os.path.join(
+            self.recipe.out_dir, f"ckpt_{self.step_count:06d}")
+        save_checkpoint(
+            path, params=self.params, bn_state=self.bn_state,
+            momentum=self.momentum,
+            meta={"step": self.step_count, "epochs": self.epochs,
+                  "long_ind": self.last_long_from_schedule(),
+                  "bn_splits": self.bn_splits,
+                  **{f"lr_{k}": v
+                     for k, v in self.lr_ctrl.state_dict().items()}})
+        self.logger.log("checkpoint", path=path, step=self.step_count)
+        return path
+
+    def last_long_from_schedule(self) -> int:
+        return self.schedule.last_long
+
+    def restore(self, path: str):
+        ck = load_checkpoint(path)
+        self.params = jax.tree.map(jnp.asarray, ck["params"])
+        self.bn_state = jax.tree.map(jnp.asarray, ck["bn_state"])
+        if "momentum" in ck:
+            self.momentum = jax.tree.map(jnp.asarray, ck["momentum"])
+        meta = ck["meta"]
+        self.step_count = int(meta["step"])
+        self.epochs = int(meta.get("epochs", 0))
+        self.bn_splits = int(meta.get("bn_splits", self.bn_splits))
+        self.schedule = MultigridSchedule(
+            self.mcfg, cur_iterations=self.step_count)
+        self.schedule.last_long = int(meta.get("long_ind", -2))
+        self.lr_ctrl.load_state_dict(
+            {"lr": meta["lr_lr"], "base": meta["lr_base"]})
+        self.logger.log("restore", path=path, step=self.step_count)
+
+
+def run_synthetic(recipe: KineticsRecipe, *, iterations: int = 12,
+                  logger: Optional[MetricLogger] = None):
+    """Dataset-free smoke run: drives the full multigrid machinery (bucket
+    transitions, BN resize, LR events) on random data."""
+    from x3d_multigrid_tpu.data.synthetic import synthetic_train_batch
+
+    trainer = MultigridTrainer(recipe, logger=logger)
+    n = 0
+    while n < iterations:
+        for plan in trainer.schedule.epoch(iterations - n):
+            batch = synthetic_train_batch(
+                plan.batch_size, plan.frames, recipe.crop_size,
+                n_classes=recipe.n_classes, seed=n)
+            batch["plan"] = plan
+            out = trainer.train_batch(batch)
+            trainer.logger.log(
+                "train", step=trainer.step_count, loss=float(out["loss"]),
+                lr=out["lr"], bucket=str(plan.bucket_key))
+            n += 1
+    trainer.logger.log("bucket_times", **{
+        k: round(v["mean_s"], 4)
+        for k, v in trainer.timer.summary().items()})
+    return trainer
+
+
+def run(recipe: KineticsRecipe, *, train_root: str, train_anno: str,
+        val_root: str, val_anno: str, labels: str,
+        resume: Optional[str] = None, precompile: bool = True):
+    """Full training loop (reference run(),
+    train_x3d_kinetics_multigrid.py:108-297)."""
+    from x3d_multigrid_tpu.data.kinetics import scan_kinetics
+    from x3d_multigrid_tpu.data.loader import (
+        KineticsTrainLoader, KineticsEvalLoader,
+    )
+    from x3d_multigrid_tpu.data.reader import default_reader
+
+    logger = MetricLogger(os.path.join(recipe.out_dir, "train_log.jsonl"))
+    trainer = MultigridTrainer(recipe, logger=logger)
+    if resume:
+        trainer.restore(resume)
+    if precompile:
+        trainer.precompile()
+
+    reader = default_reader()
+    scales = train_scales(recipe.crop_size, RESIZE_SIZE[recipe.version])
+    train_samples = scan_kinetics(train_root, train_anno, labels, "train",
+                                  min_frames=recipe.frames)
+    val_samples = scan_kinetics(val_root, val_anno, labels, "validate",
+                                min_frames=recipe.frames)
+    loader = KineticsTrainLoader(
+        train_samples, trainer.schedule, reader=reader,
+        short_side=recipe.short_side, crop_size=recipe.crop_size,
+        scales=scales, gamma_tau=recipe.gamma_tau)
+    val_loader = KineticsEvalLoader(
+        val_samples, reader=reader, short_side=recipe.short_side,
+        gamma_tau=recipe.gamma_tau,
+        frames=recipe.frames // recipe.gamma_tau, crops=recipe.val_crops,
+        batch_size=recipe.batch_size)
+
+    ipe = recipe.iterations_per_epoch
+    while trainer.epochs < recipe.max_epochs:
+        for phase in recipe.train_epochs_per_val * ["train"] + ["val"]:
+            if phase == "train":
+                trainer.epochs += 1
+                # accumulate device scalars; convert only at log points so
+                # the host loop never blocks on the in-flight step
+                pending = []
+                for batch in loader.epoch(ipe):
+                    out = trainer.train_batch(batch)
+                    pending.append((out["loss"], out["correct"],
+                                    out["batch_size"]))
+                    if trainer.step_count % (ipe // 2) == 0:
+                        losses = [float(l) for l, _, _ in pending]
+                        corr = sum(float(c) for _, c, _ in pending)
+                        n = sum(b for _, _, b in pending)
+                        logger.log("train", epoch=trainer.epochs,
+                                   step=trainer.step_count,
+                                   loss=sum(losses) / max(len(losses), 1),
+                                   top1=corr / max(n, 1))
+                        pending = []
+                    if trainer.step_count % recipe.ckpt_every_steps == 0:
+                        trainer.save()
+            else:
+                trainer.eval_epoch(val_loader)
+    return trainer
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--iterations", type=int, default=12)
+    ap.add_argument("--version", default="M")
+    ap.add_argument("--batch-size", type=int, default=None)
+    ap.add_argument("--dataset-size", type=int, default=220000)
+    ap.add_argument("--max-epochs", type=int, default=120)
+    ap.add_argument("--train-root")
+    ap.add_argument("--train-anno")
+    ap.add_argument("--val-root")
+    ap.add_argument("--val-anno")
+    ap.add_argument("--labels")
+    ap.add_argument("--resume")
+    ap.add_argument("--out-dir", default="runs/kinetics_multigrid")
+    ap.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny model + geometry for smoke runs")
+    args = ap.parse_args()
+
+    kw = dict(version=args.version, max_epochs=args.max_epochs,
+              dataset_size=args.dataset_size, out_dir=args.out_dir,
+              compute_dtype=args.dtype)
+    if args.batch_size:
+        kw["batch_size"] = args.batch_size
+    if args.tiny:
+        kw.update(
+            frames=16, crop_size_override=32, gamma_tau_override=2,
+            base_bs_per_replica=4, const_bn_size=2, short_side=40,
+            model_overrides=dict(
+                blocks_override=(1, 1, 1, 1),
+                inplanes_override=((12, 8), (16, 8), (24, 16), (32, 16)),
+                fc1_dim=32),
+        )
+        kw.setdefault("batch_size", 8)
+    recipe = KineticsRecipe(**kw)
+
+    if args.synthetic:
+        run_synthetic(recipe, iterations=args.iterations)
+    else:
+        missing = [k for k in ("train_root", "train_anno", "val_root",
+                               "val_anno", "labels")
+                   if getattr(args, k) is None]
+        if missing:
+            ap.error(f"missing required data paths: {missing} "
+                     "(or use --synthetic)")
+        run(recipe, train_root=args.train_root, train_anno=args.train_anno,
+            val_root=args.val_root, val_anno=args.val_anno,
+            labels=args.labels, resume=args.resume)
+
+
+if __name__ == "__main__":
+    main()
