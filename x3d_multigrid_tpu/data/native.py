@@ -1,0 +1,97 @@
+"""ctypes bindings for the native C++ frame decoder (csrc/jpeg_decode.cc).
+
+Build once with ``make -C csrc``; :func:`default_reader` in data/reader.py
+picks this up automatically and falls back to PIL when the library is
+missing.  Decode contract matches PILReader exactly (short-side resize ->
+square crop -> resize to canonical) so the two backends are interchangeable
+and cross-validated in tests.
+"""
+
+import ctypes
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from x3d_multigrid_tpu.data.spatial import (
+    TrainCropParams, sample_train_crop_params,
+)
+
+_LIB_PATHS = [
+    os.path.join(os.path.dirname(__file__), "..", "..", "csrc", "build",
+                 "libx3djpeg.so"),
+    os.path.join(os.path.dirname(__file__), "libx3djpeg.so"),
+]
+
+
+def _load_lib():
+    for p in _LIB_PATHS:
+        p = os.path.abspath(p)
+        if os.path.exists(p):
+            lib = ctypes.CDLL(p)
+            lib.x3d_probe.restype = ctypes.c_int
+            lib.x3d_probe.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+            lib.x3d_decode_frame.restype = ctypes.c_int
+            lib.x3d_decode_frame.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_void_p]
+            return lib
+    raise FileNotFoundError(
+        "libx3djpeg.so not built; run `make -C csrc` "
+        f"(searched {_LIB_PATHS})")
+
+
+class NativeReader:
+    """Drop-in replacement for data.reader.PILReader backed by libjpeg.
+
+    ``fast=True`` (default) enables libjpeg DCT-domain scaling: frames are
+    decoded at the M/8 size just covering ``short_side`` (2-8x cheaper) at
+    the cost of a slightly different lowpass than PIL's full decode +
+    triangle resample.  Use ``fast=False`` for PIL-equivalent output.
+    """
+
+    def __init__(self, fast: bool = True):
+        self._lib = _load_lib()
+        self._fast = 1 if fast else 0
+
+    def _decode(self, path: str, short_side: int, crop: Tuple[int, int, int],
+                out_size: int) -> np.ndarray:
+        with open(path, "rb") as f:
+            data = f.read()
+        out = np.empty((out_size, out_size, 3), np.uint8)
+        rc = self._lib.x3d_decode_frame(
+            data, len(data), short_side, self._fast, crop[0], crop[1],
+            crop[2], out_size, out.ctypes.data_as(ctypes.c_void_p))
+        if rc != 0:
+            raise IOError(f"native decode failed ({rc}) for {path}")
+        return out
+
+    def _probe(self, path: str, short_side: int) -> Tuple[int, int]:
+        with open(path, "rb") as f:
+            data = f.read()
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        rc = self._lib.x3d_probe(data, len(data), short_side,
+                                 ctypes.byref(w), ctypes.byref(h))
+        if rc != 0:
+            raise IOError(f"native probe failed for {path}")
+        return w.value, h.value
+
+    def clip_train(self, paths: List[str], short_side: int, out_size: int,
+                   scales, rng: np.random.RandomState
+                   ) -> Tuple[np.ndarray, TrainCropParams]:
+        w, h = self._probe(paths[0], short_side)
+        params = sample_train_crop_params(w, h, scales, rng)
+        crop = (params.x1, params.y1, params.side)
+        frames = np.stack([
+            self._decode(p, short_side, crop, out_size) for p in paths])
+        return frames, params
+
+    def clip_eval(self, paths: List[str], short_side: int) -> np.ndarray:
+        frames = [
+            self._decode(p, short_side, (-1, -1, -1), short_side)
+            for p in paths]
+        return np.stack(frames)
