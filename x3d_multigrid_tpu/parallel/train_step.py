@@ -94,27 +94,11 @@ def _cast_tree(tree, dtype):
         lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, tree)
 
 
-def make_train_step(cfg: X3DConfig, mesh: Mesh, *, loss: str = "kinetics",
-                    momentum: float = 0.9, weight_decay: float = 5e-5,
-                    donate: bool = True, compute_dtype=None,
-                    preprocess_mean_std=None):
-    """Build a jitted DP train step.
-
-    Signature of the returned fn:
-      ``(params, mom, bn_state, batch, lr, rng[, out_size]) ->
-        (params, mom, bn_state, TrainStepOutputs)``
-
-    ``batch`` is a dict with ``clip`` plus task labels; the batch is
-    sharded over ``data``, everything else replicated.  ``lr`` is a scalar
-    (host-fed; changes don't recompile — it is a traced 0-d array).
-
-    With ``preprocess_mean_std=(mean, std)`` the step fuses the on-device
-    input stage (ops/preprocess.py): ``batch['clip']`` is then uint8
-    ``(B, T, C0, C0, 3)`` with a ``batch['flip']`` bool vector, and the
-    static ``out_size`` kwarg selects the short-cycle resize target.
-    ``out_size`` must be static because distinct multigrid buckets can
-    share the uint8 input shape while differing in output crop.
-    """
+def _build_local_step(cfg: X3DConfig, *, loss: str, momentum: float,
+                      weight_decay: float, compute_dtype,
+                      preprocess_mean_std):
+    """The per-chip step body shared by make_train_step (one dispatch per
+    step) and make_train_loop (lax.scan of many steps in one dispatch)."""
     from x3d_multigrid_tpu.ops.preprocess import train_preprocess_impl
 
     loss_fn = LOSS_FNS[loss]
@@ -158,12 +142,44 @@ def make_train_step(cfg: X3DConfig, mesh: Mesh, *, loss: str = "kinetics",
             weight_decay=weight_decay)
         return new_params, new_mom, new_bn, l, correct
 
+    return local_step
+
+
+def _batch_spec(loss: str, preprocess_mean_std):
     batch_keys = ["clip", "label"]
     if loss == "charades_loc":
         batch_keys.append("mask")
     if preprocess_mean_std is not None:
         batch_keys.append("flip")
-    batch_spec = {k: P(DATA_AXIS) for k in batch_keys}
+    return {k: P(DATA_AXIS) for k in batch_keys}
+
+
+def make_train_step(cfg: X3DConfig, mesh: Mesh, *, loss: str = "kinetics",
+                    momentum: float = 0.9, weight_decay: float = 5e-5,
+                    donate: bool = True, compute_dtype=None,
+                    preprocess_mean_std=None):
+    """Build a jitted DP train step.
+
+    Signature of the returned fn:
+      ``(params, mom, bn_state, batch, lr, rng[, out_size]) ->
+        (params, mom, bn_state, TrainStepOutputs)``
+
+    ``batch`` is a dict with ``clip`` plus task labels; the batch is
+    sharded over ``data``, everything else replicated.  ``lr`` is a scalar
+    (host-fed; changes don't recompile — it is a traced 0-d array).
+
+    With ``preprocess_mean_std=(mean, std)`` the step fuses the on-device
+    input stage (ops/preprocess.py): ``batch['clip']`` is then uint8
+    ``(B, T, C0, C0, 3)`` with a ``batch['flip']`` bool vector, and the
+    static ``out_size`` kwarg selects the short-cycle resize target.
+    ``out_size`` must be static because distinct multigrid buckets can
+    share the uint8 input shape while differing in output crop.
+    """
+    local_step = _build_local_step(
+        cfg, loss=loss, momentum=momentum, weight_decay=weight_decay,
+        compute_dtype=compute_dtype,
+        preprocess_mean_std=preprocess_mean_std)
+    batch_spec = _batch_spec(loss, preprocess_mean_std)
     rep = P()
 
     donate_args = (0, 1, 2) if donate else ()
@@ -182,6 +198,69 @@ def make_train_step(cfg: X3DConfig, mesh: Mesh, *, loss: str = "kinetics",
         return p, m, bn, TrainStepOutputs(loss=l, correct=c)
 
     return step
+
+
+def make_train_loop(cfg: X3DConfig, mesh: Mesh, *, num_steps: int,
+                    loss: str = "kinetics", momentum: float = 0.9,
+                    weight_decay: float = 5e-5, compute_dtype=None,
+                    preprocess_mean_std=None, per_step_batches: bool = True):
+    """Multi-step in-graph training: ``num_steps`` sequential SGD steps in
+    ONE dispatch via ``lax.scan``.
+
+    Amortizes host->device dispatch latency (important both for remote-
+    attached TPUs and for tight step times) at the cost of staging
+    ``num_steps`` batches on device.  All steps share one shape bucket —
+    the multigrid trainer groups same-bucket iterations before using it.
+
+    ``batch`` leaves carry a leading ``num_steps`` axis when
+    ``per_step_batches`` (scan consumes one slice per step); with
+    ``per_step_batches=False`` a single batch is reused every step
+    (benchmarking).  ``lr`` may be scalar or (num_steps,).
+
+    Returns fn(params, mom, bn_state, batch, lr, rng[, out_size]) ->
+    (params, mom, bn_state, TrainStepOutputs with (num_steps,) leaves).
+    """
+    local_step = _build_local_step(
+        cfg, loss=loss, momentum=momentum, weight_decay=weight_decay,
+        compute_dtype=compute_dtype,
+        preprocess_mean_std=preprocess_mean_std)
+    # batch dim 0 is the scan axis when per-step batches are stacked; the
+    # data-parallel shard axis is then dim 1
+    batch_spec = {
+        k: (P(None, DATA_AXIS) if per_step_batches else P(DATA_AXIS))
+        for k in _batch_spec(loss, preprocess_mean_std)}
+    rep = P()
+
+    def local_loop(params, mom, bn_state, batch, lr, rng, out_size):
+        lr_vec = jnp.broadcast_to(lr, (num_steps,))
+
+        def body(carry, idx):
+            p, m, bn = carry
+            b = jax.tree.map(lambda x: x[idx], batch) \
+                if per_step_batches else batch
+            step_rng = jax.random.fold_in(rng, idx)
+            p, m, bn, l, c = local_step(p, m, bn, b, lr_vec[idx], step_rng,
+                                        out_size)
+            return (p, m, bn), (l, c)
+
+        (params, mom, bn_state), (losses, corrects) = jax.lax.scan(
+            body, (params, mom, bn_state), jnp.arange(num_steps))
+        return params, mom, bn_state, losses, corrects
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2),
+                       static_argnames=("out_size",))
+    def loop(params, mom, bn_state, batch, lr, rng, out_size=None):
+        sharded = shard_map(
+            functools.partial(local_loop, out_size=out_size),
+            mesh=mesh,
+            in_specs=(rep, rep, rep, batch_spec, rep, rep),
+            out_specs=(rep, rep, rep, rep, rep),
+            check_vma=False,
+        )
+        p, m, bn, l, c = sharded(params, mom, bn_state, batch, lr, rng)
+        return p, m, bn, TrainStepOutputs(loss=l, correct=c)
+
+    return loop
 
 
 def make_eval_step(cfg: X3DConfig, mesh: Mesh, *, compute_dtype=None,
