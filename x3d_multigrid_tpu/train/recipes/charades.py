@@ -203,6 +203,22 @@ class CharadesTrainer:
                         lr=lr)
         return {"map": m, "loss": val_loss}
 
+    def restore(self, path: str):
+        ck = load_checkpoint(path)
+        self.params = jax.tree.map(jnp.asarray, ck["params"])
+        self.bn_state = jax.tree.map(jnp.asarray, ck["bn_state"])
+        if "momentum" in ck:
+            self.momentum = jax.tree.map(jnp.asarray, ck["momentum"])
+        meta = ck["meta"]
+        self.step_count = int(meta.get("step", 0))
+        self.epochs = int(meta.get("epochs", 0))
+        st = {k[3:]: v for k, v in meta.items() if k.startswith("lr_")}
+        if "lr" in st:
+            self.lr_ctrl.load_state_dict({
+                "lr": st["lr"], "best": st.get("best"),
+                "num_bad": st.get("num_bad", 0)})
+        self.logger.log("restore", path=path, step=self.step_count)
+
     def save(self, path: Optional[str] = None):
         path = path or os.path.join(
             self.recipe.out_dir,
@@ -256,6 +272,8 @@ def run(recipe: CharadesRecipe, *, root: str, anno: str,
     logger = MetricLogger(os.path.join(recipe.out_dir,
                                        f"{recipe.task}_log.jsonl"))
     trainer = CharadesTrainer(recipe, pretrained=pretrained, logger=logger)
+    if resume:
+        trainer.restore(resume)
 
     reader = default_reader()
     scales = train_scales(recipe.crop_size, RESIZE_SIZE[recipe.version])
