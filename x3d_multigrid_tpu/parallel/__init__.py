@@ -1,12 +1,14 @@
 from x3d_multigrid_tpu.parallel.mesh import data_mesh
 from x3d_multigrid_tpu.parallel.train_step import (
-    make_train_step, make_train_loop, make_eval_step, TrainStepOutputs,
+    make_train_step, make_train_loop, make_grad_accum_step, make_eval_step,
+    TrainStepOutputs,
 )
 
 __all__ = [
     "data_mesh",
     "make_train_step",
     "make_train_loop",
+    "make_grad_accum_step",
     "make_eval_step",
     "TrainStepOutputs",
 ]

@@ -106,7 +106,8 @@ def _build_local_step(cfg: X3DConfig, *, loss: str, momentum: float,
         pp_mean = jnp.asarray(preprocess_mean_std[0], jnp.float32)
         pp_std = jnp.asarray(preprocess_mean_std[1], jnp.float32)
 
-    def local_step(params, mom, bn_state, batch, lr, rng, out_size):
+    def local_grads(params, bn_state, batch, rng, out_size):
+        """Per-chip loss/grads for one micro-batch (no optimizer update)."""
         # Per-chip rng: fold in the data-axis index so dropout masks differ.
         idx = jax.lax.axis_index(DATA_AXIS)
         rng = jax.random.fold_in(rng, idx)
@@ -131,7 +132,11 @@ def _build_local_step(cfg: X3DConfig, *, loss: str, momentum: float,
 
         (l, (new_bn, correct)), grads = jax.value_and_grad(
             compute_loss, has_aux=True)(params)
+        return grads, new_bn, l, correct
 
+    def local_step(params, mom, bn_state, batch, lr, rng, out_size):
+        grads, new_bn, l, correct = local_grads(params, bn_state, batch,
+                                                rng, out_size)
         grads = jax.lax.pmean(grads, DATA_AXIS)
         new_bn = jax.lax.pmean(new_bn, DATA_AXIS)
         l = jax.lax.pmean(l, DATA_AXIS)
@@ -142,6 +147,9 @@ def _build_local_step(cfg: X3DConfig, *, loss: str, momentum: float,
             weight_decay=weight_decay)
         return new_params, new_mom, new_bn, l, correct
 
+    local_step.local_grads = local_grads
+    local_step.sgd_kwargs = dict(momentum=momentum,
+                                 weight_decay=weight_decay)
     return local_step
 
 
@@ -261,6 +269,69 @@ def make_train_loop(cfg: X3DConfig, mesh: Mesh, *, num_steps: int,
         return p, m, bn, TrainStepOutputs(loss=l, correct=c)
 
     return loop
+
+
+def make_grad_accum_step(cfg: X3DConfig, mesh: Mesh, *, accum_steps: int,
+                         loss: str = "kinetics", momentum: float = 0.9,
+                         weight_decay: float = 5e-5, compute_dtype=None,
+                         preprocess_mean_std=None):
+    """Gradient accumulation: ``accum_steps`` micro-batch backwards, one
+    SGD update (the reference's ``num_steps_per_update``,
+    train_x3d_kinetics_multigrid.py:119,267-277 — loss is divided by the
+    accumulation count, so the applied gradient is the micro-batch mean).
+
+    Batch leaves carry a leading ``accum_steps`` axis.  SubBN running stats
+    thread through the micro-batches sequentially, as in the reference's
+    consecutive backward passes.
+    """
+    local_step = _build_local_step(
+        cfg, loss=loss, momentum=momentum, weight_decay=weight_decay,
+        compute_dtype=compute_dtype,
+        preprocess_mean_std=preprocess_mean_std)
+    local_grads = local_step.local_grads
+    batch_spec = {k: P(None, DATA_AXIS)
+                  for k in _batch_spec(loss, preprocess_mean_std)}
+    rep = P()
+
+    def local_accum(params, mom, bn_state, batch, lr, rng, out_size):
+        def body(carry, idx):
+            g_acc, bn = carry
+            b = jax.tree.map(lambda x: x[idx], batch)
+            g, bn, l, c = local_grads(params, bn, b,
+                                      jax.random.fold_in(rng, idx),
+                                      out_size)
+            g_acc = jax.tree.map(jnp.add, g_acc, g)
+            return (g_acc, bn), (l, c)
+
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        (g_sum, new_bn), (losses, corrects) = jax.lax.scan(
+            body, (zeros, bn_state), jnp.arange(accum_steps))
+
+        grads = jax.tree.map(lambda g: g / accum_steps, g_sum)
+        grads = jax.lax.pmean(grads, DATA_AXIS)
+        new_bn = jax.lax.pmean(new_bn, DATA_AXIS)
+        l = jax.lax.pmean(jnp.mean(losses), DATA_AXIS)
+        correct = jax.lax.psum(jnp.sum(corrects), DATA_AXIS)
+
+        new_params, new_mom = sgd_update(
+            params, grads, mom, lr=lr, momentum=momentum,
+            weight_decay=weight_decay)
+        return new_params, new_mom, new_bn, l, correct
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2),
+                       static_argnames=("out_size",))
+    def step(params, mom, bn_state, batch, lr, rng, out_size=None):
+        sharded = shard_map(
+            functools.partial(local_accum, out_size=out_size),
+            mesh=mesh,
+            in_specs=(rep, rep, rep, batch_spec, rep, rep),
+            out_specs=(rep, rep, rep, rep, rep),
+            check_vma=False,
+        )
+        p, m, bn, l, c = sharded(params, mom, bn_state, batch, lr, rng)
+        return p, m, bn, TrainStepOutputs(loss=l, correct=c)
+
+    return step
 
 
 def make_eval_step(cfg: X3DConfig, mesh: Mesh, *, compute_dtype=None,
