@@ -7,10 +7,14 @@ exact share of iterations in the reference short schedule (replayed via
 MultigridSchedule).  Per-chip batch = global batch / 4 to mirror the
 reference's 4-GPU per-device workload.
 
-Timing runs ``--steps`` sequential SGD steps *in one dispatch* via
-``make_train_loop`` (lax.scan) and fetches the final loss, so host/tunnel
-dispatch latency cannot inflate per-step time — essential on
-remote-attached TPUs where per-call overhead is tens of ms.
+Timing: N sequential single-step dispatches with the final loss fetched
+(forcing completion of the chain), minus the measured per-dispatch
+overhead of a trivial jitted program.  On remote-attached TPUs the
+per-call overhead is tens of ms and `block_until_ready` may not actually
+block, so both the fetch and the overhead subtraction matter; on a local
+TPU the overhead term is negligible.  ``--loop`` switches to lax.scan
+in-graph stepping instead (zero dispatch overhead, but a much larger XLA
+program — avoid where remote compiles are slow).
 
 Baseline: ~23 clips/s/GPU on Titan RTX (BASELINE.md, derived from the
 committed training log).  Prints one JSON line.
@@ -19,6 +23,7 @@ committed training log).  Prints one JSON line.
 import argparse
 import collections
 import json
+import statistics
 import time
 
 import jax
@@ -29,7 +34,9 @@ from x3d_multigrid_tpu.models import x3d_config, init_params, init_bn_state
 from x3d_multigrid_tpu.multigrid import (
     MultigridConfig, MultigridSchedule, enumerate_buckets,
 )
-from x3d_multigrid_tpu.parallel import data_mesh, make_train_loop
+from x3d_multigrid_tpu.parallel import (
+    data_mesh, make_train_step, make_train_loop,
+)
 from x3d_multigrid_tpu.train import init_momentum
 from x3d_multigrid_tpu.train.recipes.kinetics_multigrid import (
     KINETICS_MEAN, KINETICS_STD,
@@ -51,18 +58,32 @@ def bucket_iteration_weights(cfg: MultigridConfig, epochs: int,
     return counts
 
 
+def measure_dispatch_overhead(n: int = 12) -> float:
+    """Median wall time of a trivial dispatch+fetch round trip."""
+    x = jnp.zeros((8, 128), jnp.float32)
+    f = jax.jit(lambda x: jnp.sum(x) + 1.0)
+    float(f(x))  # compile
+    times = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        float(f(x))
+        times.append(time.perf_counter() - t0)
+    return statistics.median(times)
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=10,
-                    help="in-graph steps per timing (one dispatch)")
-    ap.add_argument("--repeats", type=int, default=2,
-                    help="timed dispatches per bucket (best taken)")
+    ap.add_argument("--steps", type=int, default=12,
+                    help="timed steps per bucket")
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
     ap.add_argument("--quick", action="store_true",
                     help="only bench 3 representative buckets")
     ap.add_argument("--full", action="store_true",
                     help="bench all 10 buckets (default: 6 spanning the "
                          "long cycles; compiles dominate wall time)")
+    ap.add_argument("--loop", action="store_true",
+                    help="time via in-graph lax.scan instead of repeated "
+                         "dispatches")
     args = ap.parse_args()
 
     compute_dtype = jnp.bfloat16 if args.dtype == "bf16" else None
@@ -91,6 +112,16 @@ def main():
     params = init_params(key, cfg)
     mom = init_momentum(params)
 
+    overhead = 0.0
+    if not args.loop:
+        overhead = measure_dispatch_overhead()
+        print(f"# dispatch overhead: {overhead*1e3:.1f} ms", flush=True)
+
+    pp = (KINETICS_MEAN, KINETICS_STD)
+    step_fn = make_train_step(cfg, mesh, loss="kinetics",
+                              compute_dtype=compute_dtype,
+                              preprocess_mean_std=pp, donate=True)
+
     all_buckets = enumerate_buckets(mcfg)
     measured = {}
     per_bucket = {}
@@ -98,11 +129,6 @@ def main():
     for b in buckets:
         per_chip = b.batch_size // REFERENCE_GPUS
         bn_state = init_bn_state(cfg, num_splits=b.bn_splits)
-        loop = make_train_loop(
-            cfg, mesh, num_steps=args.steps, loss="kinetics",
-            compute_dtype=compute_dtype,
-            preprocess_mean_std=(KINETICS_MEAN, KINETICS_STD),
-            per_step_batches=False)
         batch = {
             "clip": jnp.asarray(rng.randint(
                 0, 255, (per_chip, b.frames, CANONICAL_CROP,
@@ -114,28 +140,43 @@ def main():
         prng = jax.random.PRNGKey(42)
         lr = jnp.float32(0.1)
 
-        best = float("inf")
-        # clone: the loop donates its state args, and params/mom are reused
-        # across buckets
         p2 = jax.tree.map(jnp.copy, params)
         m2 = jax.tree.map(jnp.copy, mom)
         s2 = bn_state
-        # first call compiles; donated args mean we must thread state
-        for rep in range(args.repeats + 1):
+
+        if args.loop:
+            loop = make_train_loop(
+                cfg, mesh, num_steps=args.steps, loss="kinetics",
+                compute_dtype=compute_dtype, preprocess_mean_std=pp,
+                per_step_batches=False)
+            p2, m2, s2, out = loop(p2, m2, s2, batch, lr, prng,
+                                   out_size=b.crop)
+            final = float(out.loss[-1])  # compile + warmup
             t0 = time.perf_counter()
             p2, m2, s2, out = loop(p2, m2, s2, batch, lr, prng,
                                    out_size=b.crop)
-            final = float(out.loss[-1])  # forces full completion
-            dt = (time.perf_counter() - t0) / args.steps
-            if rep > 0:  # skip compile call
-                best = min(best, dt)
+            final = float(out.loss[-1])
+            per_step = (time.perf_counter() - t0) / args.steps
+        else:
+            # compile + warmup (2 calls)
+            for _ in range(2):
+                p2, m2, s2, out = step_fn(p2, m2, s2, batch, lr, prng,
+                                          out_size=b.crop)
+            final = float(out.loss)
+            t0 = time.perf_counter()
+            for _ in range(args.steps):
+                p2, m2, s2, out = step_fn(p2, m2, s2, batch, lr, prng,
+                                          out_size=b.crop)
+            final = float(out.loss)  # forces completion of the chain
+            per_step = (time.perf_counter() - t0) / args.steps
+            per_step = max(per_step - overhead, 1e-4)
         del p2, m2, s2
 
-        measured[b.bucket_key] = best
-        per_bucket[str(b.bucket_key)] = round(per_chip / best, 1)
+        measured[b.bucket_key] = per_step
+        per_bucket[str(b.bucket_key)] = round(per_chip / per_step, 1)
         print(f"# bucket B={per_chip}/chip T={b.frames} S={b.crop} "
-              f"splits={b.bn_splits}: {best*1e3:.1f} ms/step "
-              f"{per_chip/best:.1f} clips/s/chip "
+              f"splits={b.bn_splits}: {per_step*1e3:.1f} ms/step "
+              f"{per_chip/per_step:.1f} clips/s/chip "
               f"(weight {weights[b.bucket_key]}, loss {final:.3f})",
               flush=True)
 
@@ -157,7 +198,9 @@ def main():
         "value": round(weighted, 2),
         "unit": "clips/s/chip",
         "vs_baseline": round(weighted / BASELINE_CLIPS_PER_SEC_PER_GPU, 2),
-        "detail": {"dtype": args.dtype, "in_graph_steps": args.steps,
+        "detail": {"dtype": args.dtype,
+                   "mode": "scan_loop" if args.loop else "dispatch",
+                   "dispatch_overhead_ms": round(overhead * 1e3, 1),
                    "per_bucket": per_bucket},
     }))
 

@@ -21,6 +21,7 @@ Version tables match x3d.py:352-363.
 """
 
 import dataclasses
+import functools
 import math
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -68,6 +69,10 @@ class X3DConfig:
     widen_factor: float = 1.0
     task: str = "class"  # 'class' | 'loc'
     fc1_dim: int = 2048
+    # Rematerialize each bottleneck block in backward (jax.checkpoint):
+    # trades ~1/3 more FLOPs for O(stage) instead of O(depth) live
+    # activations — useful for the coarse multigrid buckets (B up to 2048).
+    remat: bool = False
     # Overrides for custom model sizes (None -> version tables).
     blocks_override: Optional[Tuple[int, ...]] = None
     inplanes_override: Optional[Tuple[Tuple[int, int], ...]] = None
@@ -342,9 +347,12 @@ def forward(params: Params, state: BNState, x, *, cfg: X3DConfig,
         name = f"layer{stage + 1}"
         stage_states = []
         for i, blk_p in enumerate(params[name]):
-            out, blk_s = _bottleneck(
-                blk_p, state[name][i], out,
-                has_se=(i % 2 == 0), train=train, momentum=momentum)
+            block = functools.partial(
+                _bottleneck, has_se=(i % 2 == 0), train=train,
+                momentum=momentum)
+            if cfg.remat:
+                block = jax.checkpoint(block)
+            out, blk_s = block(blk_p, state[name][i], out)
             stage_states.append(blk_s)
         new_state[name] = stage_states
 

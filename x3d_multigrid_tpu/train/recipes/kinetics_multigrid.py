@@ -77,6 +77,7 @@ class KineticsRecipe:
     num_devices: Optional[int] = None
     compute_dtype: Optional[str] = "bf16"
     short_side: int = 256                # host decode canonical short side
+    remat: bool = False                  # jax.checkpoint per block
     # Smoke-run overrides (None -> per-version defaults)
     crop_size_override: Optional[int] = None
     gamma_tau_override: Optional[int] = None
@@ -126,6 +127,7 @@ class MultigridTrainer:
         self.mesh = data_mesh(recipe.num_devices)
         self.ndev = self.mesh.devices.size
         self.cfg = x3d_config(recipe.version, n_classes=recipe.n_classes,
+                              remat=recipe.remat,
                               **(recipe.model_overrides or {}))
         self.mcfg = recipe.multigrid_config()
 
@@ -384,11 +386,13 @@ def main():
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
     ap.add_argument("--tiny", action="store_true",
                     help="tiny model + geometry for smoke runs")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize blocks in backward (less memory)")
     args = ap.parse_args()
 
     kw = dict(version=args.version, max_epochs=args.max_epochs,
               dataset_size=args.dataset_size, out_dir=args.out_dir,
-              compute_dtype=args.dtype)
+              compute_dtype=args.dtype, remat=args.remat)
     if args.batch_size:
         kw["batch_size"] = args.batch_size
     if args.tiny:
