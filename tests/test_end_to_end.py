@@ -1,0 +1,54 @@
+"""Full-integration convergence test: the real run() loop (JPEG decode ->
+prefetching loader -> multigrid schedule -> DP train step -> SubBN
+aggregation -> 3-view val -> checkpoint) on a tiny class-color-coded
+synthetic dataset.  The model must beat chance on validation within a few
+epochs — the closest CPU-runnable analog of the reference's only
+verification method (its committed training log, SURVEY §4)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from x3d_multigrid_tpu.data.synthetic import make_fake_kinetics
+from x3d_multigrid_tpu.train.recipes.kinetics_multigrid import (
+    KineticsRecipe, run,
+)
+
+TINY_MODEL = dict(
+    blocks_override=(1, 1, 1, 1),
+    inplanes_override=((12, 8), (16, 8), (24, 16), (32, 16)),
+    fc1_dim=32)
+
+
+@pytest.mark.slow
+def test_run_end_to_end_learns(tmp_path):
+    n_classes = 3
+    root, anno, labels = make_fake_kinetics(
+        str(tmp_path / "kin"), n_classes=n_classes, videos_per_class=4,
+        val_videos_per_class=2, n_frames=40, frame_size=(56, 44),
+        class_coded=True)
+
+    recipe = KineticsRecipe(
+        version="M", n_classes=n_classes,
+        batch_size=8, max_epochs=4,
+        dataset_size=80,  # iterations_per_epoch = 10 (sampler loops videos)
+        frames=16, crop_size_override=32, gamma_tau_override=2,
+        short_side=40, base_bs_per_replica=1, const_bn_size=1,
+        warmup_steps=0, init_lr=0.05,
+        train_epochs_per_val=4, ckpt_every_steps=20,
+        out_dir=str(tmp_path / "out"),
+        num_devices=8, compute_dtype="fp32",
+        model_overrides=TINY_MODEL, val_crops=3)
+
+    trainer = run(recipe, train_root=root, train_anno=anno,
+                  val_root=root, val_anno=anno, labels=labels,
+                  precompile=False)
+
+    assert trainer.step_count == 40
+    # checkpoints were written
+    ckpts = [f for f in os.listdir(recipe.out_dir) if f.startswith("ckpt")]
+    assert ckpts
+    # learns the color-coded classes: well above the 1/3 chance level
+    assert trainer.last_val_top1 is not None
+    assert trainer.last_val_top1 >= 0.5, trainer.last_val_top1

@@ -10,26 +10,50 @@ import numpy as np
 
 def make_fake_kinetics(root: str, *, n_classes: int = 4,
                        videos_per_class: int = 2, n_frames: int = 90,
-                       frame_size=(64, 48), seed: int = 0):
+                       frame_size=(64, 48), seed: int = 0,
+                       val_videos_per_class: int = 0,
+                       class_coded: bool = False):
     """Write a miniature Kinetics-layout dataset: frame JPEGs, annotation
-    JSON and labels.txt.  Returns (root, anno_path, labels_path)."""
+    JSON and labels.txt.  Returns (root, anno_path, labels_path).
+
+    ``class_coded=True`` paints each video a class-determined mean color
+    (plus noise), making the dataset trivially learnable — used by the
+    end-to-end convergence test.  ``val_videos_per_class`` adds a
+    'validate' subset in the reference's ``<label>/<video>`` layout.
+    """
     from PIL import Image
     rng = np.random.RandomState(seed)
     labels = [f"class_{i}" for i in range(n_classes)]
     anno = {}
     os.makedirs(root, exist_ok=True)
+
+    def write_video(vdir, ci):
+        os.makedirs(vdir, exist_ok=True)
+        base = np.zeros(3)
+        if class_coded:
+            base = np.array([(ci * 97) % 256, (ci * 53 + 80) % 256,
+                             (ci * 31 + 160) % 256], float)
+        for f in range(1, n_frames + 1):
+            noise = rng.randint(0, 60, frame_size[::-1] + (3,))
+            arr = np.clip(base[None, None] * (0.8 if class_coded else 0)
+                          + noise, 0, 255).astype(np.uint8)
+            Image.fromarray(arr).save(
+                os.path.join(vdir, f"frame_{f:05d}.jpg"), quality=90)
+
     for ci, label in enumerate(labels):
         for v in range(videos_per_class):
             vid = f"vid{ci}_{v}"
             name = f"{vid}_{str(0).zfill(6)}_{str(10).zfill(6)}"
-            vdir = os.path.join(root, label, name)
-            os.makedirs(vdir, exist_ok=True)
-            for f in range(1, n_frames + 1):
-                arr = rng.randint(0, 255, frame_size[::-1] + (3,), np.uint8)
-                Image.fromarray(arr).save(
-                    os.path.join(vdir, f"frame_{f:05d}.jpg"), quality=90)
+            write_video(os.path.join(root, label, name), ci)
             anno[vid] = {
                 "subset": "train",
+                "annotations": {"segment": [0, 10], "label": label},
+            }
+        for v in range(val_videos_per_class):
+            vid = f"val{ci}_{v}"
+            write_video(os.path.join(root, label, vid), ci)
+            anno[vid] = {
+                "subset": "validate",
                 "annotations": {"segment": [0, 10], "label": label},
             }
     anno_path = os.path.join(root, "anno.json")

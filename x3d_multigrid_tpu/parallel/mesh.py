@@ -26,3 +26,15 @@ def data_mesh(num_devices: Optional[int] = None,
                 f"requested {num_devices} devices, have {len(devices)}")
         devices = devices[:num_devices]
     return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def pad_to_multiple(x, multiple: int, axis: int = 0):
+    """Pad ``x`` along ``axis`` (repeating the leading rows) up to the next
+    multiple — used to keep eval batches shardable when the last batch of a
+    dataset is ragged.  Returns (padded, original_size)."""
+    n = x.shape[axis]
+    rem = (-n) % multiple
+    if rem == 0:
+        return x, n
+    reps = np.concatenate([np.arange(n), np.arange(rem) % n])
+    return x.take(reps, axis=axis), n

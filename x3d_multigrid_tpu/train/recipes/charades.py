@@ -151,6 +151,8 @@ class CharadesTrainer:
         """10-view max-reduced mAP + val loss
         (train_x3d_charades.py:158-174,208-213)."""
         from x3d_multigrid_tpu.parallel.train_step import bce_with_logits
+        from x3d_multigrid_tpu.parallel.mesh import pad_to_multiple
+        ndev = self.mesh.devices.size
         agg = aggregate_all_subbn(self.bn_state)
         apm = APMeter()
         tot_loss, n_batches = 0.0, 0
@@ -158,9 +160,10 @@ class CharadesTrainer:
             clips = batch["clip"]  # (B, n, T, R, R, 3) uint8
             b, n = clips.shape[:2]
             flat = clips.reshape((b * n,) + clips.shape[2:])
+            flat, n_real = pad_to_multiple(flat, ndev)
             logits = self.eval_step(self.params, agg, jnp.asarray(flat),
                                     out_size=self.recipe.crop_size)
-            probs, max_logits = multiview_max_probs(logits, n)
+            probs, max_logits = multiview_max_probs(logits[:n_real], n)
             labels = jnp.asarray(batch["label"])
             tot_loss += float(bce_with_logits(max_logits, labels))
             n_batches += 1
@@ -176,13 +179,17 @@ class CharadesTrainer:
         """Per-frame masked AP on interpolated logits
         (train_x3d_charades_loc.py:168-186)."""
         from x3d_multigrid_tpu.parallel.train_step import _charades_loc_loss
+        from x3d_multigrid_tpu.parallel.mesh import pad_to_multiple
+        ndev = self.mesh.devices.size
         agg = aggregate_all_subbn(self.bn_state)
         apm = APMeter()
         tot_loss, n_batches = 0.0, 0
         for batch in loader:
             clips = batch["clip"]  # (B, T, R, R, 3) uint8, padded
+            clips, n_real = pad_to_multiple(clips, ndev)
             logits = self.eval_step(self.params, agg, jnp.asarray(clips),
                                     out_size=self.recipe.crop_size)
+            logits = logits[:n_real]
             labels = batch["label"]     # (B, TL, C)
             mask = batch["mask"]        # (B, TL)
             loss, _ = _charades_loc_loss(

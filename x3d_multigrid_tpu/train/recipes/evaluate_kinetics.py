@@ -30,7 +30,9 @@ from x3d_multigrid_tpu.models.x3d import CROP_SIZE, GAMMA_TAU
 def evaluate(params, bn_state, cfg, loader, *, crop_size, mesh=None,
              compute_dtype=None, log_every=50):
     """Multi-view Top-1 over an eval loader; returns accuracy."""
+    from x3d_multigrid_tpu.parallel.mesh import pad_to_multiple
     mesh = mesh or data_mesh(1)
+    ndev = mesh.devices.size
     eval_step = make_eval_step(
         cfg, mesh, compute_dtype=compute_dtype,
         preprocess_mean_std=(KINETICS_MEAN, KINETICS_STD))
@@ -40,9 +42,10 @@ def evaluate(params, bn_state, cfg, loader, *, crop_size, mesh=None,
         clips = batch["clip"]
         b, n = clips.shape[:2]
         flat = clips.reshape((b * n,) + clips.shape[2:])
+        flat, n_real = pad_to_multiple(flat, ndev)
         logits = eval_step(params, agg, jnp.asarray(flat),
                            out_size=crop_size)
-        _, preds, _ = multiview_softmax_top1(logits, n)
+        _, preds, _ = multiview_softmax_top1(logits[:n_real], n)
         correct += int(np.sum(np.asarray(preds) == batch["label"]))
         total += b
         if (i + 1) % log_every == 0:

@@ -149,6 +149,7 @@ class MultigridTrainer:
         self.bn_state = init_bn_state(self.cfg, self.bn_splits)
         self.step_count = 0
         self.epochs = 0
+        self.last_val_top1: Optional[float] = None
 
         dtype = {"bf16": jnp.bfloat16, "fp32": None,
                  None: None}[recipe.compute_dtype]
@@ -229,19 +230,23 @@ class MultigridTrainer:
     def eval_epoch(self, loader) -> float:
         """3-view Top-1 over a validation loader (SubBN stats aggregated
         first, as the reference does before every val pass)."""
+        from x3d_multigrid_tpu.parallel.mesh import pad_to_multiple
         agg_state = aggregate_all_subbn(self.bn_state)
         correct = total = 0
         for batch in loader:
             clips = batch["clip"]           # (B, n, T, R, R, 3) uint8
             b, n = clips.shape[:2]
             flat = clips.reshape((b * n,) + clips.shape[2:])
+            # ragged final batches must stay shardable over the mesh
+            flat, n_real = pad_to_multiple(flat, self.ndev)
             logits = self.eval_step(self.params, agg_state,
                                     jnp.asarray(flat),
                                     out_size=self.recipe.crop_size)
-            _, preds, _ = multiview_softmax_top1(logits, n)
+            _, preds, _ = multiview_softmax_top1(logits[:n_real], n)
             correct += int(np.sum(np.asarray(preds) == batch["label"]))
             total += b
         acc = correct / max(total, 1)
+        self.last_val_top1 = acc
         self.logger.log("val", epoch=self.epochs, top1=acc, samples=total)
         return acc
 
@@ -352,7 +357,7 @@ def run(recipe: KineticsRecipe, *, train_root: str, train_anno: str,
                     out = trainer.train_batch(batch)
                     pending.append((out["loss"], out["correct"],
                                     out["batch_size"]))
-                    if trainer.step_count % (ipe // 2) == 0:
+                    if trainer.step_count % max(ipe // 2, 1) == 0:
                         losses = [float(l) for l, _, _ in pending]
                         corr = sum(float(c) for _, c, _ in pending)
                         n = sum(b for _, _, b in pending)
