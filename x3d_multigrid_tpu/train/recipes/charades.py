@@ -84,6 +84,10 @@ class CharadesTrainer:
         self.recipe = recipe
         self.logger = logger or MetricLogger()
         self.mesh = data_mesh(recipe.num_devices)
+        if recipe.batch_size % self.mesh.devices.size:
+            raise ValueError(
+                f"batch_size {recipe.batch_size} must be a multiple of "
+                f"num_devices {self.mesh.devices.size}")
         task = "loc" if recipe.task == "loc" else "class"
         self.cfg = x3d_config(recipe.version, n_classes=400, task=task,
                               **(recipe.model_overrides or {}))
@@ -114,6 +118,7 @@ class CharadesTrainer:
         self.momentum = init_momentum(self.params)
         self.step_count = 0
         self.epochs = 0
+        self.last_val = None
 
         dtype = {"bf16": jnp.bfloat16, "fp32": None,
                  None: None}[recipe.compute_dtype]
@@ -171,9 +176,10 @@ class CharadesTrainer:
         val_loss = tot_loss / max(n_batches, 1)
         m = apm.mean()
         lr = self.lr_ctrl.step(val_loss)
+        self.last_val = {"map": m, "loss": val_loss}
         self.logger.log("val", epoch=self.epochs, map=m, loss=val_loss,
                         lr=lr)
-        return {"map": m, "loss": val_loss}
+        return self.last_val
 
     def eval_loc_epoch(self, loader) -> dict:
         """Per-frame masked AP on interpolated logits
@@ -206,9 +212,10 @@ class CharadesTrainer:
         val_loss = tot_loss / max(n_batches, 1)
         m = apm.mean()
         lr = self.lr_ctrl.step(val_loss)
+        self.last_val = {"map": m, "loss": val_loss}
         self.logger.log("val", epoch=self.epochs, map=m, loss=val_loss,
                         lr=lr)
-        return {"map": m, "loss": val_loss}
+        return self.last_val
 
     def restore(self, path: str):
         ck = load_checkpoint(path)
@@ -284,8 +291,11 @@ def run(recipe: CharadesRecipe, *, root: str, anno: str,
 
     reader = default_reader()
     scales = train_scales(recipe.crop_size, RESIZE_SIZE[recipe.version])
-    train_videos = scan_charades(anno, "training", root)
-    test_videos = scan_charades(anno, "testing", root)
+    min_frames = 2 * recipe.frames + 2  # charades.py:88 with doubling
+    train_videos = scan_charades(anno, "training", root,
+                                 min_frames=min_frames)
+    test_videos = scan_charades(anno, "testing", root,
+                                min_frames=min_frames)
     loader = CharadesTrainLoader(
         train_videos, root, reader=reader, task=recipe.task,
         batch_size=recipe.batch_size, frames=2 * recipe.frames,
