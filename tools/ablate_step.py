@@ -9,8 +9,11 @@ Run on one TPU chip: ``python tools/ablate_step.py [--bucket 128,8,224,4]``
 """
 
 import argparse
-import statistics
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp

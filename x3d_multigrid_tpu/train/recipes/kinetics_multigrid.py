@@ -118,9 +118,21 @@ class KineticsRecipe:
 
 
 class MultigridTrainer:
-    """Owns model/optimizer state and the schedule-driven step dispatch."""
+    """Owns model/optimizer state and the schedule-driven step dispatch.
+
+    ``group_size > 1`` enables grouped dispatch: consecutive iterations are
+    buffered per shape bucket and executed as one ``lax.scan`` of
+    ``group_size`` SGD steps (parallel/train_step.make_train_loop).
+    Within a long-cycle chunk the short cycles alternate deterministically,
+    so a window of ``period * group_size`` iterations contains exactly
+    ``group_size`` of each bucket; groups are flushed at long-cycle
+    transitions (where BN state is resized) and at epoch end.  Batch order
+    is permuted within the window — statistically neutral for IID-sampled
+    batches — while each iteration keeps its own scheduled LR.
+    """
 
     def __init__(self, recipe: KineticsRecipe, *, seed: int = 0,
+                 group_size: int = 1,
                  logger: Optional[MetricLogger] = None):
         self.recipe = recipe
         self.logger = logger or MetricLogger()
@@ -170,6 +182,18 @@ class MultigridTrainer:
         self.timer = StepTimer()
         self.rng = jax.random.PRNGKey(seed + 1)
 
+        self.group_size = group_size
+        self._groups: dict = {}   # bucket_key -> list[(batch, lr)]
+        self._train_loop = None
+        if group_size > 1:
+            from x3d_multigrid_tpu.parallel import make_train_loop
+            self._train_loop = make_train_loop(
+                self.cfg, self.mesh, num_steps=group_size, loss="kinetics",
+                momentum=recipe.sgd_momentum,
+                weight_decay=recipe.weight_decay, compute_dtype=dtype,
+                preprocess_mean_std=(KINETICS_MEAN, KINETICS_STD),
+                per_step_batches=True)
+
     # -- multigrid transitions ---------------------------------------------
     def _maybe_transition(self, plan):
         if plan.bn_splits != self.bn_splits:
@@ -204,6 +228,64 @@ class MultigridTrainer:
         self.timer.stop()
         return {"loss": out.loss, "correct": out.correct, "lr": lr,
                 "batch_size": plan.batch_size}
+
+    # -- grouped dispatch -----------------------------------------------
+    def train_batch_grouped(self, batch) -> list:
+        """Buffer one iteration; dispatch when its bucket group fills.
+        Returns a list of completed-step result dicts (possibly empty)."""
+        plan = batch["plan"]
+        results = []
+        if plan.lr_scale is not None or plan.bn_splits != self.bn_splits:
+            results.extend(self.flush_groups())
+        self._maybe_transition(plan)
+        lr = self.lr_ctrl.step_lr(self.step_count)
+        self.step_count += 1
+        buf = self._groups.setdefault(plan.bucket_key, [])
+        buf.append((batch, lr))
+        if len(buf) == self.group_size:
+            results.extend(self._dispatch_group(plan.bucket_key))
+        return results
+
+    def flush_groups(self) -> list:
+        results = []
+        for key in list(self._groups):
+            results.extend(self._dispatch_group(key))
+        return results
+
+    def _dispatch_group(self, key) -> list:
+        items = self._groups.pop(key, [])
+        if not items:
+            return []
+        plan = items[0][0]["plan"]
+        self.timer.start(key)
+        self.rng, grp_rng = jax.random.split(self.rng)
+        if len(items) == self.group_size and self._train_loop is not None:
+            stacked = {
+                f: jnp.asarray(np.stack([b[f] for b, _ in items]))
+                for f in ("clip", "flip", "label")}
+            lrs = jnp.asarray([lr for _, lr in items], jnp.float32)
+            self.params, self.momentum, self.bn_state, out = \
+                self._train_loop(self.params, self.momentum, self.bn_state,
+                                 stacked, lrs, grp_rng, out_size=plan.crop)
+            self.timer.stop()
+            return [{"loss": out.loss[i], "correct": out.correct[i],
+                     "lr": float(lrs[i]), "batch_size": plan.batch_size}
+                    for i in range(len(items))]
+        # partial group (transition/epoch flush): single-step dispatches
+        results = []
+        for i, (b, lr) in enumerate(items):
+            self.params, self.momentum, self.bn_state, out = \
+                self.train_step(
+                    self.params, self.momentum, self.bn_state,
+                    {"clip": jnp.asarray(b["clip"]),
+                     "flip": jnp.asarray(b["flip"]),
+                     "label": jnp.asarray(b["label"])},
+                    jnp.float32(lr), jax.random.fold_in(grp_rng, i),
+                    out_size=plan.crop)
+            results.append({"loss": out.loss, "correct": out.correct,
+                            "lr": lr, "batch_size": plan.batch_size})
+        self.timer.stop()
+        return results
 
     def precompile(self):
         """Compile every bucket's step up-front on throwaway cloned state
