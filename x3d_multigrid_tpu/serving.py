@@ -1,0 +1,84 @@
+"""Serving: a compiled, BN-folded inference engine for deployment.
+
+Wraps checkpoint loading, BN stat aggregation + folding
+(models/folding.py), the fused on-device preprocess, multi-view reduction
+and softmax into one object with a single jitted call — the deployment
+counterpart of the reference's ad-hoc eval loops.
+
+    engine = InferenceEngine.from_checkpoint("ckpt.npz", x3d_config("M"))
+    probs, preds = engine.classify(clips_u8)   # (B, n, T, R, R, 3) uint8
+"""
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from x3d_multigrid_tpu.models.x3d import X3DConfig, CROP_SIZE
+from x3d_multigrid_tpu.models import aggregate_all_subbn
+from x3d_multigrid_tpu.models.folding import fold_bn, forward_folded
+from x3d_multigrid_tpu.ops.preprocess import eval_preprocess_impl
+from x3d_multigrid_tpu.train.recipes.kinetics_multigrid import (
+    KINETICS_MEAN, KINETICS_STD,
+)
+
+
+class InferenceEngine:
+    """BN-folded, jitted multi-view classifier."""
+
+    def __init__(self, params, bn_state, cfg: X3DConfig, *,
+                 crop_size: Optional[int] = None, compute_dtype=jnp.bfloat16,
+                 mean=KINETICS_MEAN, std=KINETICS_STD):
+        self.cfg = cfg
+        self.crop_size = crop_size or CROP_SIZE[cfg.version]
+        folded = fold_bn(params, aggregate_all_subbn(bn_state))
+        if compute_dtype is not None:
+            folded = jax.tree.map(
+                lambda a: a.astype(compute_dtype)
+                if a.dtype == jnp.float32 else a, folded)
+        self._folded = folded
+        self._mean = jnp.asarray(mean, jnp.float32)
+        self._std = jnp.asarray(std, jnp.float32)
+        self._dtype = compute_dtype
+
+        @functools.partial(jax.jit, static_argnames=("n_views",))
+        def _classify(folded_params, clips_u8, n_views):
+            b = clips_u8.shape[0]
+            flat = clips_u8.reshape((b * n_views,) + clips_u8.shape[2:])
+            x = eval_preprocess_impl(flat, self._mean, self._std,
+                                     out_size=self.crop_size)
+            if self._dtype is not None:
+                x = x.astype(self._dtype)
+            logits = forward_folded(folded_params, x, cfg=cfg)
+            logits = logits.astype(jnp.float32).reshape(b, n_views, -1)
+            probs = jax.nn.softmax(logits, axis=-1).mean(axis=1)
+            return probs, jnp.argmax(probs, axis=-1)
+
+        self._fn = _classify
+
+    @classmethod
+    def from_checkpoint(cls, path: str, cfg: X3DConfig, **kw):
+        if path.endswith(".pt"):
+            from x3d_multigrid_tpu.train.checkpoint import (
+                load_torch_checkpoint,
+            )
+            params, bn_state, _ = load_torch_checkpoint(path, cfg)
+        else:
+            from x3d_multigrid_tpu.train.checkpoint import load_checkpoint
+            ck = load_checkpoint(path)
+            params, bn_state = ck["params"], ck["bn_state"]
+        params = jax.tree.map(jnp.asarray, params)
+        bn_state = jax.tree.map(jnp.asarray, bn_state)
+        return cls(params, bn_state, cfg, **kw)
+
+    def classify(self, clips_u8) -> Tuple[np.ndarray, np.ndarray]:
+        """``clips_u8``: (B, n_views, T, R, R, 3) uint8 center-crop squares
+        (or (B, T, R, R, 3) for single view).  Returns (probs, preds)."""
+        clips_u8 = jnp.asarray(clips_u8)
+        if clips_u8.ndim == 5:
+            clips_u8 = clips_u8[:, None]
+        probs, preds = self._fn(self._folded, clips_u8,
+                                clips_u8.shape[1])
+        return np.asarray(probs), np.asarray(preds)

@@ -395,7 +395,8 @@ def run_synthetic(recipe: KineticsRecipe, *, iterations: int = 12,
 
 def run(recipe: KineticsRecipe, *, train_root: str, train_anno: str,
         val_root: str, val_anno: str, labels: str,
-        resume: Optional[str] = None, precompile: bool = True):
+        resume: Optional[str] = None, precompile: bool = True,
+        group_size: int = 1):
     """Full training loop (reference run(),
     train_x3d_kinetics_multigrid.py:108-297)."""
     from x3d_multigrid_tpu.data.kinetics import scan_kinetics
@@ -405,7 +406,8 @@ def run(recipe: KineticsRecipe, *, train_root: str, train_anno: str,
     from x3d_multigrid_tpu.data.reader import default_reader
 
     logger = MetricLogger(os.path.join(recipe.out_dir, "train_log.jsonl"))
-    trainer = MultigridTrainer(recipe, logger=logger)
+    trainer = MultigridTrainer(recipe, logger=logger,
+                               group_size=group_size)
     if resume:
         trainer.restore(resume)
     if precompile:
@@ -436,9 +438,13 @@ def run(recipe: KineticsRecipe, *, train_root: str, train_anno: str,
                 # the host loop never blocks on the in-flight step
                 pending = []
                 for batch in loader.epoch(ipe):
-                    out = trainer.train_batch(batch)
-                    pending.append((out["loss"], out["correct"],
-                                    out["batch_size"]))
+                    if trainer.group_size > 1:
+                        outs = trainer.train_batch_grouped(batch)
+                    else:
+                        outs = [trainer.train_batch(batch)]
+                    for out in outs:
+                        pending.append((out["loss"], out["correct"],
+                                        out["batch_size"]))
                     if trainer.step_count % max(ipe // 2, 1) == 0:
                         losses = [float(l) for l, _, _ in pending]
                         corr = sum(float(c) for _, c, _ in pending)
@@ -450,6 +456,8 @@ def run(recipe: KineticsRecipe, *, train_root: str, train_anno: str,
                         pending = []
                     if trainer.step_count % recipe.ckpt_every_steps == 0:
                         trainer.save()
+                if trainer.group_size > 1:
+                    trainer.flush_groups()
             else:
                 trainer.eval_epoch(val_loader)
     return trainer
@@ -475,6 +483,9 @@ def main():
                     help="tiny model + geometry for smoke runs")
     ap.add_argument("--remat", action="store_true",
                     help="rematerialize blocks in backward (less memory)")
+    ap.add_argument("--group-size", type=int, default=1,
+                    help="scan this many same-bucket iterations per "
+                         "dispatch (amortizes host dispatch latency)")
     args = ap.parse_args()
 
     kw = dict(version=args.version, max_epochs=args.max_epochs,
@@ -505,7 +516,8 @@ def main():
                      "(or use --synthetic)")
         run(recipe, train_root=args.train_root, train_anno=args.train_anno,
             val_root=args.val_root, val_anno=args.val_anno,
-            labels=args.labels, resume=args.resume)
+            labels=args.labels, resume=args.resume,
+            group_size=args.group_size)
 
 
 if __name__ == "__main__":
