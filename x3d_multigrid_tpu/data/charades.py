@@ -21,7 +21,7 @@ a dense (157, n_frames) array per video to disk.
 import dataclasses
 import json
 import os
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

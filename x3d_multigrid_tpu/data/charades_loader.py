@@ -11,9 +11,8 @@ to fixed multiples so XLA sees a small set of shapes instead of one
 compilation per batch.
 """
 
-import math
 from concurrent.futures import ThreadPoolExecutor
-from typing import List, Sequence
+from typing import Sequence
 
 import numpy as np
 

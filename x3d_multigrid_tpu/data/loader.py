@@ -14,7 +14,7 @@ the batch spec.
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
-from typing import Dict, Iterator, List, Optional, Sequence
+from typing import Iterator, List, Optional, Sequence
 
 import numpy as np
 
@@ -140,6 +140,12 @@ class KineticsTrainLoader:
         return Prefetcher(self._produce(num_iterations),
                           depth=self.prefetch)
 
+    def close(self):
+        """Release decode threads (graceful shutdown; the reference's
+        multi-process loader needs an elaborate protocol for this,
+        dataloader.py:395-671 — a thread pool just drains)."""
+        self.pool.shutdown(wait=False, cancel_futures=True)
+
 
 class KineticsEvalLoader:
     """Multi-view validation batches (kinetics.py:205-239): yields
@@ -180,3 +186,6 @@ class KineticsEvalLoader:
 
     def __iter__(self):
         return iter(Prefetcher(self._produce(), depth=self.prefetch))
+
+    def close(self):
+        self.pool.shutdown(wait=False, cancel_futures=True)

@@ -9,7 +9,7 @@ and cross-validated in tests.
 
 import ctypes
 import os
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

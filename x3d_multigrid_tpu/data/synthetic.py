@@ -3,7 +3,6 @@ batch generators (for benches/smoke runs without Kinetics/Charades data)."""
 
 import json
 import os
-from typing import List, Optional
 
 import numpy as np
 

@@ -14,7 +14,7 @@ with BN skipped and per-conv biases added.  Numerical parity with the
 eval-mode ``forward`` is exact up to fp rounding (tested).
 """
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ no-cycle phase reuses the long-3 buckets).
 """
 
 import dataclasses
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Tuple
 
 from x3d_multigrid_tpu.multigrid.schedule import (
     MultigridConfig, long_cycle_shapes, short_cycle_crop,

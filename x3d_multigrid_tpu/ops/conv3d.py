@@ -16,8 +16,6 @@ Reference weight layout is ``(C_out, C_in/groups, kd, kh, kw)``; see
 ``train/checkpoint.py`` for the converter.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax import lax

@@ -7,25 +7,19 @@ H-tile) output block per grid step from a (3, TILE_H*s+2, W+2, C) input
 window of the pre-padded input, accumulating the 27 taps in fp32 registers
 and writing back in the input dtype.
 
-Backward passes are expressed with XLA (transposed depthwise conv for dx,
-per-tap reductions for dw) via ``jax.custom_vjp`` — they are the same
-memory-bound shape family and XLA emits them well; the forward is where
-Pallas control of the tap schedule pays.
+Backward passes reuse XLA's native conv transposes via ``jax.custom_vjp``
+— the same memory-bound shape family, which XLA emits well; the forward is
+where Pallas control of the tap schedule pays.
 
 Usage: ``dw_conv3d_pallas(x, w, spatial_stride=1|2)`` — drop-in for
 ops/conv3d.depthwise_conv3d (weights ``(3, 3, 3, 1, C)``).
 """
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
-from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-
-from x3d_multigrid_tpu.ops.conv3d import DIMSPEC
 
 
 def _pick_tile_h(h_out: int) -> int:

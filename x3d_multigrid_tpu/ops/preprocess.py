@@ -21,9 +21,6 @@ PIL BILINEAR's triangle filter with downscale antialiasing (the reference's
 interpolation, spatial_transforms.py:495).
 """
 
-import functools
-from typing import Sequence, Tuple
-
 import jax
 import jax.numpy as jnp
 

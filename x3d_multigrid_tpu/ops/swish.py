@@ -8,7 +8,6 @@ the backward is a single fused VPU expression.
 """
 
 import jax
-import jax.numpy as jnp
 
 
 @jax.custom_vjp

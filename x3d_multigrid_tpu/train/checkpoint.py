@@ -23,7 +23,6 @@ import json
 import os
 from typing import Any, Dict, Optional, Tuple
 
-import jax
 import numpy as np
 
 from x3d_multigrid_tpu.models.x3d import X3DConfig, Params, BNState

@@ -13,9 +13,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from x3d_multigrid_tpu.models import (
-    x3d_config, init_bn_state, aggregate_all_subbn,
-)
+from x3d_multigrid_tpu.models import x3d_config, aggregate_all_subbn
 from x3d_multigrid_tpu.parallel import data_mesh, make_eval_step
 from x3d_multigrid_tpu.evaluate import multiview_softmax_top1
 from x3d_multigrid_tpu.train.checkpoint import (

@@ -19,7 +19,6 @@ LR control reproduces the reference's three interacting mechanisms
      the next one).
 """
 
-import dataclasses
 from typing import Optional, Sequence, Set
 
 import jax
