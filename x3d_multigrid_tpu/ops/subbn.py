@@ -41,6 +41,27 @@ SubBNState = Dict[str, Any]
 EPS = 1e-5
 MOMENTUM = 0.1
 
+# Fused Pallas training kernel (ops/pallas/subbn_fused.py).  Measured on
+# v5e it does not yet beat XLA's emission at X3D channel widths (lane
+# padding C<128 dominates), so the default is the XLA expression; True
+# forces the kernel (CPU runs it in interpret mode — tests only).
+FUSED_TRAIN = False
+
+
+def set_fused_train(mode) -> None:
+    """Select the SubBN training implementation: True / False / 'auto'
+    ('auto' = kernel on TPU backends)."""
+    global FUSED_TRAIN
+    FUSED_TRAIN = mode
+
+
+def _use_fused(x) -> bool:
+    if FUSED_TRAIN is True:
+        return True
+    if FUSED_TRAIN == "auto":
+        return jax.default_backend() in ("tpu", "axon")
+    return False
+
 
 def init_subbn_state(num_features: int, num_splits: int,
                      dtype=jnp.float32) -> SubBNState:
@@ -93,6 +114,23 @@ def sub_batch_norm(x, scale, bias, state: SubBNState, *, train: bool,
         n = x.shape[0]
         if n % s:
             raise ValueError(f"batch {n} not divisible by bn_splits {s}")
+        if _use_fused(x):
+            # fused Pallas kernel: stats + normalize + affine in one pass
+            # pair (ops/pallas/subbn_fused.py); affine applied in-kernel
+            from x3d_multigrid_tpu.ops.pallas.subbn_fused import (
+                subbn_train_fused,
+            )
+            y, mean, var = subbn_train_fused(x, scale, bias, s)
+            n_per = (n // s) * x.shape[1] * x.shape[2] * x.shape[3]
+            unbias = n_per / max(n_per - 1, 1)
+            new_state = {
+                **state,
+                "split_mean": (1 - momentum) * state["split_mean"]
+                              + momentum * mean,
+                "split_var": (1 - momentum) * state["split_var"]
+                             + momentum * (var * unbias),
+            }
+            return y, new_state
         xg = x.reshape(n // s, s, *x.shape[1:])  # sample i*S+s -> split s
         # Stats in fp32 regardless of activation dtype.
         xf = xg.astype(jnp.float32)
