@@ -44,7 +44,6 @@ from x3d_multigrid_tpu.train.recipes.kinetics_multigrid import (
 
 BASELINE_CLIPS_PER_SEC_PER_GPU = 23.0
 REFERENCE_GPUS = 4
-CANONICAL_CROP = 224  # host-side uint8 crop size for X3D-M
 
 
 def bucket_iteration_weights(cfg: MultigridConfig, epochs: int,
@@ -129,10 +128,12 @@ def main():
     for b in buckets:
         per_chip = b.batch_size // REFERENCE_GPUS
         bn_state = init_bn_state(cfg, num_splits=b.bn_splits)
+        # adaptive decode (data/loader.py): the host ships crops already at
+        # the bucket's short-cycle size, so the device resize is a no-op
         batch = {
             "clip": jnp.asarray(rng.randint(
-                0, 255, (per_chip, b.frames, CANONICAL_CROP,
-                         CANONICAL_CROP, 3), np.uint8)),
+                0, 255, (per_chip, b.frames, b.crop, b.crop, 3),
+                np.uint8)),
             "flip": jnp.asarray(rng.rand(per_chip) < 0.5),
             "label": jnp.asarray(
                 rng.randint(0, 400, (per_chip,)).astype(np.int32)),

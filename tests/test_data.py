@@ -123,11 +123,25 @@ class TestTrainLoader:
         assert len(batches) == 4
         for b in batches:
             plan = b["plan"]
+            # adaptive decode: crops come out at the short-cycle size
             assert b["clip"].shape == (
-                plan.batch_size, plan.frames, 32, 32, 3)
+                plan.batch_size, plan.frames, plan.crop, plan.crop, 3)
             assert b["clip"].dtype == np.uint8
             assert b["label"].shape == (plan.batch_size,)
             assert b["flip"].dtype == bool
+
+    def test_fixed_decode_mode(self, fake_kinetics):
+        root, anno, labels = fake_kinetics
+        samples = scan_kinetics(root, anno, labels, "train", min_frames=80)
+        cfg = MultigridConfig(
+            base_batch_size=2, total_iterations=64, sample_duration=80,
+            crop_size=32, gamma_tau=10, base_bn_splits=1)
+        loader = KineticsTrainLoader(
+            samples, MultigridSchedule(cfg), reader=PILReader(),
+            short_side=40, crop_size=32, scales=(0.875,), gamma_tau=10,
+            num_threads=2, adaptive_decode=False)
+        b = next(iter(loader.epoch(1)))
+        assert b["clip"].shape[2:] == (32, 32, 3)
 
     def test_shuffled_stream_covers_dataset(self):
         s = ShuffledIndexStream(10, seed=0)

@@ -26,17 +26,21 @@ def test_run_end_to_end_learns(tmp_path):
     n_classes = 3
     root, anno, labels = make_fake_kinetics(
         str(tmp_path / "kin"), n_classes=n_classes, videos_per_class=4,
-        val_videos_per_class=2, n_frames=40, frame_size=(56, 44),
+        val_videos_per_class=3, n_frames=40, frame_size=(56, 44),
         class_coded=True)
 
     recipe = KineticsRecipe(
         version="M", n_classes=n_classes,
-        batch_size=8, max_epochs=4,
+        batch_size=8, max_epochs=6,
         dataset_size=80,  # iterations_per_epoch = 10 (sampler loops videos)
         frames=16, crop_size_override=32, gamma_tau_override=2,
         short_side=40, base_bs_per_replica=1, const_bn_size=1,
-        warmup_steps=0, init_lr=0.05,
-        train_epochs_per_val=4, ckpt_every_steps=20,
+        warmup_steps=0, init_lr=0.02,  # long-0 LR = 8x this; keep it tame
+        # high EMA rate so eval BN stats mature within the tiny schedule
+        # (split stats reset at every long-cycle change; real schedules
+        # have ~20k steps per cycle to refill them, this test has ~3)
+        bn_momentum=0.5,
+        train_epochs_per_val=6, ckpt_every_steps=20,
         out_dir=str(tmp_path / "out"),
         num_devices=8, compute_dtype="fp32",
         model_overrides=TINY_MODEL, val_crops=3)
@@ -45,7 +49,7 @@ def test_run_end_to_end_learns(tmp_path):
                   val_root=root, val_anno=anno, labels=labels,
                   precompile=False)
 
-    assert trainer.step_count == 40
+    assert trainer.step_count == 60
     # checkpoints were written
     ckpts = [f for f in os.listdir(recipe.out_dir) if f.startswith("ckpt")]
     assert ckpts

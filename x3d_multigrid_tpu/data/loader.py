@@ -82,16 +82,26 @@ class Prefetcher:
 class KineticsTrainLoader:
     """Multigrid training batches from a Kinetics frame-folder index.
 
-    Yields dicts: ``clip`` (B, T, C0, C0, 3) uint8 (C0 = model crop size),
-    ``flip`` (B,) bool, ``label`` (B,) int32, ``plan`` IterationPlan.
-    The device-side resize to ``plan.crop`` + flip + normalize happens in
-    ops/preprocess.train_preprocess.
+    Yields dicts: ``clip`` uint8, ``flip`` (B,) bool, ``label`` (B,) int32,
+    ``plan`` IterationPlan.  Flip + normalize (+ any residual resize) run
+    on device in the train step (ops/preprocess).
+
+    ``adaptive_decode`` (default True) scales the whole decode geometry to
+    the bucket's short-cycle crop: frames are decoded at short side
+    ``short_side * crop / crop_size`` and cropped straight to
+    ``(plan.crop, plan.crop)`` — libjpeg's DCT scaling makes the smaller
+    decode nearly free, and host decode, host->device transfer, and the
+    device resize all shrink by up to (crop_size/crop)^2 (4x at the
+    coarsest multigrid buckets, where the reference's input pipeline
+    struggles most — SURVEY §7).  With False the loader always emits
+    ``(B, T, crop_size, crop_size, 3)`` and the device resizes.
     """
 
     def __init__(self, samples: Sequence[VideoSample], schedule:
                  MultigridSchedule, *, reader, short_side: int,
                  crop_size: int, scales, gamma_tau: int,
-                 num_threads: int = 8, prefetch: int = 2, seed: int = 0):
+                 num_threads: int = 8, prefetch: int = 2, seed: int = 0,
+                 adaptive_decode: bool = True):
         self.samples = list(samples)
         self.schedule = schedule
         self.reader = reader
@@ -103,7 +113,15 @@ class KineticsTrainLoader:
         self.pool = ThreadPoolExecutor(max_workers=num_threads)
         self.prefetch = prefetch
         self.seed = seed
+        self.adaptive_decode = adaptive_decode
         self._clip_counter = 0
+
+    def _geometry(self, plan: IterationPlan):
+        if not self.adaptive_decode or plan.crop == self.crop_size:
+            return self.short_side, self.crop_size
+        short = max(1, int(round(self.short_side * plan.crop
+                                 / self.crop_size)))
+        return short, plan.crop
 
     def _load_clip(self, sample: VideoSample, plan: IterationPlan,
                    seed: int):
@@ -115,8 +133,9 @@ class KineticsTrainLoader:
             all_indices, self.schedule.cfg.sample_duration, self.gamma_tau,
             t_stride, plan.raw_frames, rng)
         paths = [frame_path(sample.video, i) for i in idx]
+        short, out = self._geometry(plan)
         frames, params = self.reader.clip_train(
-            paths, self.short_side, self.crop_size, self.scales, rng)
+            paths, short, out, self.scales, rng)
         return frames, params.flip, sample.label
 
     def _produce(self, num_iterations: int):

@@ -96,7 +96,7 @@ def _cast_tree(tree, dtype):
 
 def _build_local_step(cfg: X3DConfig, *, loss: str, momentum: float,
                       weight_decay: float, compute_dtype,
-                      preprocess_mean_std):
+                      preprocess_mean_std, bn_momentum: float = 0.1):
     """The per-chip step body shared by make_train_step (one dispatch per
     step) and make_train_loop (lax.scan of many steps in one dispatch)."""
     from x3d_multigrid_tpu.ops.preprocess import train_preprocess_impl
@@ -126,7 +126,8 @@ def _build_local_step(cfg: X3DConfig, *, loss: str, momentum: float,
                 p = _cast_tree(p, compute_dtype)
                 clip = clip.astype(compute_dtype)
             logits, new_bn = forward(p, bn_state, clip, cfg=cfg,
-                                     train=True, rng=rng)
+                                     train=True, rng=rng,
+                                     momentum=bn_momentum)
             l, correct = loss_fn(logits, batch)
             return l, (new_bn, correct)
 
@@ -165,7 +166,7 @@ def _batch_spec(loss: str, preprocess_mean_std):
 def make_train_step(cfg: X3DConfig, mesh: Mesh, *, loss: str = "kinetics",
                     momentum: float = 0.9, weight_decay: float = 5e-5,
                     donate: bool = True, compute_dtype=None,
-                    preprocess_mean_std=None):
+                    preprocess_mean_std=None, bn_momentum: float = 0.1):
     """Build a jitted DP train step.
 
     Signature of the returned fn:
@@ -186,7 +187,7 @@ def make_train_step(cfg: X3DConfig, mesh: Mesh, *, loss: str = "kinetics",
     local_step = _build_local_step(
         cfg, loss=loss, momentum=momentum, weight_decay=weight_decay,
         compute_dtype=compute_dtype,
-        preprocess_mean_std=preprocess_mean_std)
+        preprocess_mean_std=preprocess_mean_std, bn_momentum=bn_momentum)
     batch_spec = _batch_spec(loss, preprocess_mean_std)
     rep = P()
 
@@ -211,7 +212,8 @@ def make_train_step(cfg: X3DConfig, mesh: Mesh, *, loss: str = "kinetics",
 def make_train_loop(cfg: X3DConfig, mesh: Mesh, *, num_steps: int,
                     loss: str = "kinetics", momentum: float = 0.9,
                     weight_decay: float = 5e-5, compute_dtype=None,
-                    preprocess_mean_std=None, per_step_batches: bool = True):
+                    preprocess_mean_std=None, per_step_batches: bool = True,
+                    bn_momentum: float = 0.1):
     """Multi-step in-graph training: ``num_steps`` sequential SGD steps in
     ONE dispatch via ``lax.scan``.
 
@@ -231,7 +233,7 @@ def make_train_loop(cfg: X3DConfig, mesh: Mesh, *, num_steps: int,
     local_step = _build_local_step(
         cfg, loss=loss, momentum=momentum, weight_decay=weight_decay,
         compute_dtype=compute_dtype,
-        preprocess_mean_std=preprocess_mean_std)
+        preprocess_mean_std=preprocess_mean_std, bn_momentum=bn_momentum)
     # batch dim 0 is the scan axis when per-step batches are stacked; the
     # data-parallel shard axis is then dim 1
     batch_spec = {
@@ -274,7 +276,7 @@ def make_train_loop(cfg: X3DConfig, mesh: Mesh, *, num_steps: int,
 def make_grad_accum_step(cfg: X3DConfig, mesh: Mesh, *, accum_steps: int,
                          loss: str = "kinetics", momentum: float = 0.9,
                          weight_decay: float = 5e-5, compute_dtype=None,
-                         preprocess_mean_std=None):
+                         preprocess_mean_std=None, bn_momentum: float = 0.1):
     """Gradient accumulation: ``accum_steps`` micro-batch backwards, one
     SGD update (the reference's ``num_steps_per_update``,
     train_x3d_kinetics_multigrid.py:119,267-277 — loss is divided by the
@@ -287,7 +289,7 @@ def make_grad_accum_step(cfg: X3DConfig, mesh: Mesh, *, accum_steps: int,
     local_step = _build_local_step(
         cfg, loss=loss, momentum=momentum, weight_decay=weight_decay,
         compute_dtype=compute_dtype,
-        preprocess_mean_std=preprocess_mean_std)
+        preprocess_mean_std=preprocess_mean_std, bn_momentum=bn_momentum)
     local_grads = local_step.local_grads
     batch_spec = {k: P(None, DATA_AXIS)
                   for k in _batch_spec(loss, preprocess_mean_std)}

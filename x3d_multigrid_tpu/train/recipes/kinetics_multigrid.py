@@ -78,6 +78,7 @@ class KineticsRecipe:
     compute_dtype: Optional[str] = "bf16"
     short_side: int = 256                # host decode canonical short side
     remat: bool = False                  # jax.checkpoint per block
+    bn_momentum: float = 0.1             # SubBN running-stat EMA rate
     # Smoke-run overrides (None -> per-version defaults)
     crop_size_override: Optional[int] = None
     gamma_tau_override: Optional[int] = None
@@ -169,7 +170,8 @@ class MultigridTrainer:
             self.cfg, self.mesh, loss="kinetics",
             momentum=recipe.sgd_momentum, weight_decay=recipe.weight_decay,
             donate=True, compute_dtype=dtype,
-            preprocess_mean_std=(KINETICS_MEAN, KINETICS_STD))
+            preprocess_mean_std=(KINETICS_MEAN, KINETICS_STD),
+            bn_momentum=recipe.bn_momentum)
         self.eval_step = make_eval_step(
             self.cfg, self.mesh, compute_dtype=dtype,
             preprocess_mean_std=(KINETICS_MEAN, KINETICS_STD))
@@ -192,7 +194,7 @@ class MultigridTrainer:
                 momentum=recipe.sgd_momentum,
                 weight_decay=recipe.weight_decay, compute_dtype=dtype,
                 preprocess_mean_std=(KINETICS_MEAN, KINETICS_STD),
-                per_step_batches=True)
+                per_step_batches=True, bn_momentum=recipe.bn_momentum)
 
     # -- multigrid transitions ---------------------------------------------
     def _maybe_transition(self, plan):
