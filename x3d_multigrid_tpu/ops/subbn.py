@@ -132,8 +132,9 @@ def sub_batch_norm(x, scale, bias, state: SubBNState, *, train: bool,
             }
             return y, new_state
         xg = x.reshape(n // s, s, *x.shape[1:])  # sample i*S+s -> split s
-        # Stats in fp32 regardless of activation dtype.
-        xf = xg.astype(jnp.float32)
+        # Stats in at least fp32 (fp32 for bf16 activations; f64 stays f64
+        # so the float64 reference-parity test is exact).
+        xf = xg.astype(jnp.promote_types(x.dtype, jnp.float32))
         mean = jnp.mean(xf, axis=(0, 2, 3, 4))              # (S, C)
         mean2 = jnp.mean(jnp.square(xf), axis=(0, 2, 3, 4))
         var = jnp.maximum(mean2 - jnp.square(mean), 0.0)     # biased

@@ -132,7 +132,11 @@ def from_torch_state_dict(sd: Dict[str, np.ndarray], cfg: X3DConfig
                           ) -> Tuple[Params, BNState]:
     """Convert a reference state dict (torch tensors or numpy arrays) into
     our (params, bn_state) pytrees."""
-    sd = {k: np.asarray(getattr(v, "numpy", lambda: v)())
+    # np.array(copy=True): torch ``.numpy()`` SHARES memory with the live
+    # tensor — without the copy, later in-place updates of the torch model's
+    # BN buffers would silently mutate our pytrees (jnp.asarray on CPU may
+    # alias the numpy buffer rather than copy it).
+    sd = {k: np.array(getattr(v, "numpy", lambda: v)(), copy=True)
           for k, v in sd.items()}
     params: Dict[str, Any] = {
         "conv1_s": {"w": _conv_from_torch(sd["conv1_s.weight"])},
