@@ -1,6 +1,7 @@
 from x3d_multigrid_tpu.parallel.mesh import data_mesh
 from x3d_multigrid_tpu.parallel.train_step import (
-    make_train_step, make_train_loop, make_grad_accum_step, make_eval_step,
+    make_train_step, make_train_loop, make_grad_accum_step,
+    make_grad_microstep, make_apply_step, accumulate_grads, make_eval_step,
     TrainStepOutputs,
 )
 
@@ -9,6 +10,9 @@ __all__ = [
     "make_train_step",
     "make_train_loop",
     "make_grad_accum_step",
+    "make_grad_microstep",
+    "make_apply_step",
+    "accumulate_grads",
     "make_eval_step",
     "TrainStepOutputs",
 ]

@@ -336,6 +336,76 @@ def make_grad_accum_step(cfg: X3DConfig, mesh: Mesh, *, accum_steps: int,
     return step
 
 
+def make_grad_microstep(cfg: X3DConfig, mesh: Mesh, *, loss: str = "kinetics",
+                        compute_dtype=None, preprocess_mean_std=None,
+                        bn_momentum: float = 0.1):
+    """One micro-batch of gradient accumulation: pmean'd grads + updated BN
+    state, NO optimizer update.
+
+    Unlike :func:`make_grad_accum_step` (which scans a stacked same-shape
+    batch), this dispatches one micro-batch at a time, so consecutive
+    micro-batches may come from *different multigrid shape buckets* — the
+    situation the reference's ``num_steps_per_update`` loop actually hits,
+    since short cycles change the batch shape every iteration
+    (train_x3d_kinetics_multigrid.py:119,267-277).  Pair with
+    :func:`make_apply_step` every ``num_steps_per_update`` micro-steps.
+
+    Returns fn(params, bn_state, batch, rng[, out_size]) ->
+    (grads, new_bn_state, loss, correct).
+    """
+    local_step = _build_local_step(
+        cfg, loss=loss, momentum=0.0, weight_decay=0.0,
+        compute_dtype=compute_dtype,
+        preprocess_mean_std=preprocess_mean_std, bn_momentum=bn_momentum)
+    local_grads = local_step.local_grads
+    batch_spec = _batch_spec(loss, preprocess_mean_std)
+    rep = P()
+
+    def local(params, bn_state, batch, rng, out_size):
+        g, bn, l, c = local_grads(params, bn_state, batch, rng, out_size)
+        g = jax.lax.pmean(g, DATA_AXIS)
+        bn = jax.lax.pmean(bn, DATA_AXIS)
+        l = jax.lax.pmean(l, DATA_AXIS)
+        c = jax.lax.psum(c, DATA_AXIS)
+        return g, bn, l, c
+
+    @functools.partial(jax.jit, static_argnames=("out_size",))
+    def step(params, bn_state, batch, rng, out_size=None):
+        return shard_map(
+            functools.partial(local, out_size=out_size),
+            mesh=mesh,
+            in_specs=(rep, rep, batch_spec, rep),
+            out_specs=(rep, rep, rep, rep),
+            check_vma=False,
+        )(params, bn_state, batch, rng)
+
+    return step
+
+
+def make_apply_step(*, accum_steps: int, momentum: float = 0.9,
+                    weight_decay: float = 5e-5):
+    """SGD update from an accumulated gradient sum: divides by
+    ``accum_steps`` (the reference divides each micro-loss by
+    ``num_steps_per_update``, so the applied gradient is the micro-batch
+    mean — train_x3d_kinetics_multigrid.py:268).  Donates params/momentum/
+    gradient buffers.
+
+    Returns fn(params, mom, grad_sum, lr) -> (params, mom).
+    """
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def apply(params, mom, grad_sum, lr):
+        grads = jax.tree.map(lambda g: g / accum_steps, grad_sum)
+        return sgd_update(params, grads, mom, lr=lr, momentum=momentum,
+                          weight_decay=weight_decay)
+
+    return apply
+
+
+# Donating the running sum keeps grad accumulation allocation-free.
+accumulate_grads = jax.jit(
+    lambda acc, g: jax.tree.map(jnp.add, acc, g), donate_argnums=(0,))
+
+
 def make_eval_step(cfg: X3DConfig, mesh: Mesh, *, compute_dtype=None,
                    preprocess_mean_std=None):
     """Jitted DP eval forward: returns logits gathered on the host.

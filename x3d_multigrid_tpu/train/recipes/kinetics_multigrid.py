@@ -79,6 +79,13 @@ class KineticsRecipe:
     short_side: int = 256                # host decode canonical short side
     remat: bool = False                  # jax.checkpoint per block
     bn_momentum: float = 0.1             # SubBN running-stat EMA rate
+    # Gradient accumulation: micro-batches per optimizer update (the
+    # reference's num_steps_per_update, train_x3d_kinetics_multigrid.py:119).
+    # LR warmup/milestones/checkpoints count UPDATE steps; the multigrid
+    # schedule keeps counting iterations (micro-steps), exactly like the
+    # reference (cur_iterations = steps * num_steps_per_update, :120, and
+    # lr_schedule = [i // num_steps_per_update ...], :130).
+    num_steps_per_update: int = 1
     # Smoke-run overrides (None -> per-version defaults)
     crop_size_override: Optional[int] = None
     gamma_tau_override: Optional[int] = None
@@ -160,7 +167,8 @@ class MultigridTrainer:
         self.momentum = init_momentum(self.params)
         self.bn_splits = recipe.base_bn_splits * recipe.long_cycle[0]
         self.bn_state = init_bn_state(self.cfg, self.bn_splits)
-        self.step_count = 0
+        self.step_count = 0    # optimizer updates
+        self.iterations = 0    # micro-steps == schedule iterations
         self.epochs = 0
         self.last_val_top1: Optional[float] = None
 
@@ -176,11 +184,31 @@ class MultigridTrainer:
             self.cfg, self.mesh, compute_dtype=dtype,
             preprocess_mean_std=(KINETICS_MEAN, KINETICS_STD))
 
+        # Gradient accumulation (num_steps_per_update > 1): per-bucket
+        # micro-grad dispatches + one apply per group.  Milestones move to
+        # update-step units, as in the reference (:130).
+        self.nspu = recipe.num_steps_per_update
+        self._grad_sum = None
+        self._accum_count = 0
+        if self.nspu > 1:
+            if group_size > 1:
+                raise ValueError("group_size > 1 is incompatible with "
+                                 "num_steps_per_update > 1")
+            from x3d_multigrid_tpu.parallel import (
+                make_grad_microstep, make_apply_step)
+            self.grad_step = make_grad_microstep(
+                self.cfg, self.mesh, loss="kinetics", compute_dtype=dtype,
+                preprocess_mean_std=(KINETICS_MEAN, KINETICS_STD),
+                bn_momentum=recipe.bn_momentum)
+            self.apply_step = make_apply_step(
+                accum_steps=self.nspu, momentum=recipe.sgd_momentum,
+                weight_decay=recipe.weight_decay)
+
         self.schedule = MultigridSchedule(self.mcfg,
-                                          cur_iterations=self.step_count)
+                                          cur_iterations=self.iterations)
         self.lr_ctrl = LRController(
             recipe.lr, warmup_steps=recipe.warmup_steps,
-            milestones=self.mcfg.lr_milestones)
+            milestones=[m // self.nspu for m in self.mcfg.lr_milestones])
         self.timer = StepTimer()
         self.rng = jax.random.PRNGKey(seed + 1)
 
@@ -215,6 +243,8 @@ class MultigridTrainer:
         (B,), ``label`` (B,), ``plan``.  Resize/flip/normalize run inside
         the sharded step (static ``out_size`` = short-cycle crop)."""
         plan = batch["plan"]
+        if self.nspu > 1:
+            return self._train_batch_accum(batch)
         self._maybe_transition(plan)
         lr = self.lr_ctrl.step_lr(self.step_count)
 
@@ -227,9 +257,48 @@ class MultigridTrainer:
              "label": jnp.asarray(batch["label"])},
             jnp.float32(lr), step_rng, out_size=plan.crop)
         self.step_count += 1
+        self.iterations += 1
         self.timer.stop()
         return {"loss": out.loss, "correct": out.correct, "lr": lr,
-                "batch_size": plan.batch_size}
+                "batch_size": plan.batch_size, "updated": True}
+
+    def _train_batch_accum(self, batch) -> dict:
+        """One micro-step of gradient accumulation; applies SGD every
+        ``num_steps_per_update`` micro-steps (the reference's num_iter
+        counter, train_x3d_kinetics_multigrid.py:267-277).  Micro-steps may
+        span different shape buckets — each bucket has its own compiled
+        micro-grad step, the accumulated gradient tree is shape-invariant."""
+        plan = batch["plan"]
+        self._maybe_transition(plan)
+        self.timer.start(plan.bucket_key)
+        self.rng, step_rng = jax.random.split(self.rng)
+        grads, self.bn_state, loss, correct = self.grad_step(
+            self.params, self.bn_state,
+            {"clip": jnp.asarray(batch["clip"]),
+             "flip": jnp.asarray(batch["flip"]),
+             "label": jnp.asarray(batch["label"])},
+            step_rng, out_size=plan.crop)
+        if self._grad_sum is None:
+            self._grad_sum = grads
+        else:
+            from x3d_multigrid_tpu.parallel import accumulate_grads
+            self._grad_sum = accumulate_grads(self._grad_sum, grads)
+        self._accum_count += 1
+        self.iterations += 1
+
+        updated = False
+        lr = self.lr_ctrl.lr
+        if self._accum_count == self.nspu:
+            lr = self.lr_ctrl.step_lr(self.step_count)
+            self.params, self.momentum = self.apply_step(
+                self.params, self.momentum, self._grad_sum, jnp.float32(lr))
+            self._grad_sum = None
+            self._accum_count = 0
+            self.step_count += 1
+            updated = True
+        self.timer.stop()
+        return {"loss": loss, "correct": correct, "lr": lr,
+                "batch_size": plan.batch_size, "updated": updated}
 
     # -- grouped dispatch -----------------------------------------------
     def train_batch_grouped(self, batch) -> list:
@@ -242,6 +311,7 @@ class MultigridTrainer:
         self._maybe_transition(plan)
         lr = self.lr_ctrl.step_lr(self.step_count)
         self.step_count += 1
+        self.iterations += 1
         buf = self._groups.setdefault(plan.bucket_key, [])
         buf.append((batch, lr))
         if len(buf) == self.group_size:
@@ -341,7 +411,8 @@ class MultigridTrainer:
         save_checkpoint(
             path, params=self.params, bn_state=self.bn_state,
             momentum=self.momentum,
-            meta={"step": self.step_count, "epochs": self.epochs,
+            meta={"step": self.step_count, "iterations": self.iterations,
+                  "epochs": self.epochs,
                   "long_ind": self.last_long_from_schedule(),
                   "bn_splits": self.bn_splits,
                   **{f"lr_{k}": v
@@ -360,10 +431,14 @@ class MultigridTrainer:
             self.momentum = jax.tree.map(jnp.asarray, ck["momentum"])
         meta = ck["meta"]
         self.step_count = int(meta["step"])
+        # pre-accumulation checkpoints carry only update steps; like the
+        # reference resume, cur_iterations = steps * num_steps_per_update
+        self.iterations = int(meta.get("iterations",
+                                       self.step_count * self.nspu))
         self.epochs = int(meta.get("epochs", 0))
         self.bn_splits = int(meta.get("bn_splits", self.bn_splits))
         self.schedule = MultigridSchedule(
-            self.mcfg, cur_iterations=self.step_count)
+            self.mcfg, cur_iterations=self.iterations)
         self.schedule.last_long = int(meta.get("long_ind", -2))
         self.lr_ctrl.load_state_dict(
             {"lr": meta["lr_lr"], "base": meta["lr_base"]})
@@ -447,6 +522,10 @@ def run(recipe: KineticsRecipe, *, train_root: str, train_anno: str,
                     for out in outs:
                         pending.append((out["loss"], out["correct"],
                                         out["batch_size"]))
+                    # cadences count UPDATE steps (reference:275-291), so
+                    # skip micro-steps that did not apply an update
+                    if not any(o.get("updated", True) for o in outs):
+                        continue
                     if trainer.step_count % max(ipe // 2, 1) == 0:
                         losses = [float(l) for l, _, _ in pending]
                         corr = sum(float(c) for _, c, _ in pending)
@@ -488,11 +567,15 @@ def main():
     ap.add_argument("--group-size", type=int, default=1,
                     help="scan this many same-bucket iterations per "
                          "dispatch (amortizes host dispatch latency)")
+    ap.add_argument("--num-steps-per-update", type=int, default=1,
+                    help="gradient-accumulation micro-steps per optimizer "
+                         "update (reference num_steps_per_update)")
     args = ap.parse_args()
 
     kw = dict(version=args.version, max_epochs=args.max_epochs,
               dataset_size=args.dataset_size, out_dir=args.out_dir,
-              compute_dtype=args.dtype, remat=args.remat)
+              compute_dtype=args.dtype, remat=args.remat,
+              num_steps_per_update=args.num_steps_per_update)
     if args.batch_size:
         kw["batch_size"] = args.batch_size
     if args.tiny:
