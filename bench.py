@@ -7,14 +7,18 @@ exact share of iterations in the reference short schedule (replayed via
 MultigridSchedule).  Per-chip batch = global batch / 4 to mirror the
 reference's 4-GPU per-device workload.
 
-Timing: N sequential single-step dispatches with the final loss fetched
-(forcing completion of the chain), minus the measured per-dispatch
-overhead of a trivial jitted program.  On remote-attached TPUs the
-per-call overhead is tens of ms and `block_until_ready` may not actually
-block, so both the fetch and the overhead subtraction matter; on a local
-TPU the overhead term is negligible.  ``--loop`` switches to lax.scan
-in-graph stepping instead (zero dispatch overhead, but a much larger XLA
-program — avoid where remote compiles are slow).
+Timing (honest, no corrections): the default times an in-graph
+``lax.scan`` of ``--steps`` SGD steps per bucket — dispatch overhead is
+amortized inside the program, wall/steps IS the step time.  ``--mode
+dispatch`` times back-to-back donated dispatches instead; measured equal
+to scan within ~10% on v5e because dispatches pipeline (the host enqueues
+step k+1 while k executes), so neither mode subtracts anything.  The
+trivial-dispatch round trip is printed for the record only.
+
+Besides training throughput, the default run also reports 3-view eval
+throughput, BN-folded serving latency (InferenceEngine), and the host
+input-pipeline section (real-JPEG decode rates + cores needed per chip
+to feed the device) — see ``detail.eval`` / ``detail.loader``.
 
 Baseline: ~23 clips/s/GPU on Titan RTX (BASELINE.md, derived from the
 committed training log).  Prints one JSON line.
@@ -31,6 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from x3d_multigrid_tpu.models import x3d_config, init_params, init_bn_state
+from x3d_multigrid_tpu.ops import subbn as subbn_mod
 from x3d_multigrid_tpu.multigrid import (
     MultigridConfig, MultigridSchedule, enumerate_buckets,
 )
@@ -70,9 +75,51 @@ def measure_dispatch_overhead(n: int = 12) -> float:
     return statistics.median(times)
 
 
+def bench_eval(cfg, mesh, params, compute_dtype, *, steps: int = 6):
+    """3-view validation throughput + BN-folded serving latency
+    (the reference's multi-view val path, kinetics.py:218-233, and
+    the deployment InferenceEngine)."""
+    from x3d_multigrid_tpu.models import init_bn_state
+    from x3d_multigrid_tpu.parallel import make_eval_step
+    from x3d_multigrid_tpu.serving import InferenceEngine
+
+    pp = (KINETICS_MEAN, KINETICS_STD)
+    bn_state = init_bn_state(cfg, num_splits=1)
+    eval_step = make_eval_step(cfg, mesh, compute_dtype=compute_dtype,
+                               preprocess_mean_std=pp)
+    rng = np.random.RandomState(0)
+    b_clips, views, t, r = 8, 3, 8, 256
+    clips = jnp.asarray(rng.randint(
+        0, 255, (b_clips * views, t, r, r, 3), np.uint8))
+    for _ in range(2):  # compile + warm
+        logits = eval_step(params, bn_state, clips, out_size=224)
+    float(jnp.sum(logits))
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        logits = eval_step(params, bn_state, clips, out_size=224)
+    float(jnp.sum(logits))
+    val_clips_s = b_clips * steps / (time.perf_counter() - t0)
+
+    engine = InferenceEngine(
+        params, bn_state, cfg,
+        compute_dtype=compute_dtype or jnp.float32)
+    lat = {}
+    for n_views in (1, 10):
+        x = rng.randint(0, 255, (1, n_views, t, r, r, 3), np.uint8)
+        engine.classify(x)  # compile
+        times = []
+        for _ in range(8):
+            t0 = time.perf_counter()
+            engine.classify(x)
+            times.append(time.perf_counter() - t0)
+        lat[f"classify_ms_b1_v{n_views}"] = round(
+            statistics.median(times) * 1e3, 1)
+    return {"val_3view_clips_per_sec_per_chip": round(val_clips_s, 1), **lat}
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=12,
+    ap.add_argument("--steps", type=int, default=8,
                     help="timed steps per bucket")
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
     ap.add_argument("--quick", action="store_true",
@@ -80,9 +127,18 @@ def main():
     ap.add_argument("--full", action="store_true",
                     help="bench all 10 buckets (default: 6 spanning the "
                          "long cycles; compiles dominate wall time)")
-    ap.add_argument("--loop", action="store_true",
-                    help="time via in-graph lax.scan instead of repeated "
-                         "dispatches")
+    ap.add_argument("--mode", default="loop", choices=["loop", "dispatch"],
+                    help="loop (default): in-graph lax.scan of --steps SGD "
+                         "steps, timed wall-clock with NO overhead "
+                         "correction; dispatch: repeated jit dispatches "
+                         "(pipelined, also uncorrected — measured equal to "
+                         "loop within ~10%% on v5e)")
+    ap.add_argument("--loop", dest="mode", action="store_const",
+                    const="loop", help=argparse.SUPPRESS)
+    ap.add_argument("--skip-eval", action="store_true",
+                    help="skip the 3-view val / serving-latency section")
+    ap.add_argument("--skip-loader", action="store_true",
+                    help="skip the host input-pipeline section")
     args = ap.parse_args()
 
     compute_dtype = jnp.bfloat16 if args.dtype == "bf16" else None
@@ -111,10 +167,12 @@ def main():
     params = init_params(key, cfg)
     mom = init_momentum(params)
 
-    overhead = 0.0
-    if not args.loop:
-        overhead = measure_dispatch_overhead()
-        print(f"# dispatch overhead: {overhead*1e3:.1f} ms", flush=True)
+    # measured for the record only — NOT subtracted from step times (back-
+    # to-back donated dispatches pipeline, so wall/step ~= compute; verified
+    # against scan-loop timing on v5e)
+    overhead = measure_dispatch_overhead()
+    print(f"# dispatch+fetch round trip: {overhead*1e3:.1f} ms "
+          "(reported, not subtracted)", flush=True)
 
     pp = (KINETICS_MEAN, KINETICS_STD)
     step_fn = make_train_step(cfg, mesh, loss="kinetics",
@@ -145,7 +203,7 @@ def main():
         m2 = jax.tree.map(jnp.copy, mom)
         s2 = bn_state
 
-        if args.loop:
+        if args.mode == "loop":
             loop = make_train_loop(
                 cfg, mesh, num_steps=args.steps, loss="kinetics",
                 compute_dtype=compute_dtype, preprocess_mean_std=pp,
@@ -153,11 +211,14 @@ def main():
             p2, m2, s2, out = loop(p2, m2, s2, batch, lr, prng,
                                    out_size=b.crop)
             final = float(out.loss[-1])  # compile + warmup
-            t0 = time.perf_counter()
-            p2, m2, s2, out = loop(p2, m2, s2, batch, lr, prng,
-                                   out_size=b.crop)
-            final = float(out.loss[-1])
-            per_step = (time.perf_counter() - t0) / args.steps
+            per_step = 1e9
+            for _ in range(2):
+                t0 = time.perf_counter()
+                p2, m2, s2, out = loop(p2, m2, s2, batch, lr, prng,
+                                       out_size=b.crop)
+                final = float(out.loss[-1])
+                per_step = min(per_step,
+                               (time.perf_counter() - t0) / args.steps)
         else:
             # compile + warmup (2 calls)
             for _ in range(2):
@@ -170,7 +231,6 @@ def main():
                                           out_size=b.crop)
             final = float(out.loss)  # forces completion of the chain
             per_step = (time.perf_counter() - t0) / args.steps
-            per_step = max(per_step - overhead, 1e-4)
         del p2, m2, s2
 
         measured[b.bucket_key] = per_step
@@ -194,15 +254,34 @@ def main():
     total_time = sum(weights[b.bucket_key] * est_time(b)
                      for b in all_buckets)
     weighted = total_clip_iters / total_time
+
+    detail = {"dtype": args.dtype,
+              "mode": "scan_loop" if args.mode == "loop" else "dispatch",
+              "overhead_corrected": False,
+              "dispatch_overhead_ms": round(overhead * 1e3, 1),
+              "subbn_impl": str(subbn_mod.FUSED_TRAIN),
+              "per_bucket": per_bucket}
+
+    if not args.skip_eval:
+        detail["eval"] = bench_eval(cfg, mesh, params, compute_dtype)
+        print(f"# eval: {detail['eval']}", flush=True)
+
+    if not args.skip_loader:
+        # host input pipeline: real JPEG decode throughput on this host +
+        # cores needed per chip to feed the device at the rates above
+        from tools.bench_loader import run_loader_bench
+        loader = run_loader_bench(iterations=8, videos=16,
+                                  device_per_bucket=per_bucket,
+                                  quiet=True)
+        detail["loader"] = loader
+        print(f"# loader: {loader}", flush=True)
+
     print(json.dumps({
         "metric": "multigrid_train_clips_per_sec_per_chip",
         "value": round(weighted, 2),
         "unit": "clips/s/chip",
         "vs_baseline": round(weighted / BASELINE_CLIPS_PER_SEC_PER_GPU, 2),
-        "detail": {"dtype": args.dtype,
-                   "mode": "scan_loop" if args.loop else "dispatch",
-                   "dispatch_overhead_ms": round(overhead * 1e3, 1),
-                   "per_bucket": per_bucket},
+        "detail": detail,
     }))
 
 

@@ -101,7 +101,7 @@ class KineticsTrainLoader:
                  MultigridSchedule, *, reader, short_side: int,
                  crop_size: int, scales, gamma_tau: int,
                  num_threads: int = 8, prefetch: int = 2, seed: int = 0,
-                 adaptive_decode: bool = True):
+                 adaptive_decode: bool = True, pipeline_batches: int = 2):
         self.samples = list(samples)
         self.schedule = schedule
         self.reader = reader
@@ -114,6 +114,7 @@ class KineticsTrainLoader:
         self.prefetch = prefetch
         self.seed = seed
         self.adaptive_decode = adaptive_decode
+        self.pipeline_batches = max(1, pipeline_batches)
         self._clip_counter = 0
 
     def _geometry(self, plan: IterationPlan):
@@ -138,15 +139,34 @@ class KineticsTrainLoader:
             paths, short, out, self.scales, rng)
         return frames, params.flip, sample.label
 
+    def _submit(self, plan: IterationPlan):
+        indices = self.stream.take(plan.batch_size)
+        seeds = [self.seed + self._clip_counter + i
+                 for i in range(len(indices))]
+        self._clip_counter += len(indices)
+        futures = [
+            self.pool.submit(self._load_clip, self.samples[j], plan, s)
+            for j, s in zip(indices, seeds)]
+        return plan, futures
+
     def _produce(self, num_iterations: int):
-        for plan in self.schedule.epoch(num_iterations):
-            indices = self.stream.take(plan.batch_size)
-            seeds = [self.seed + self._clip_counter + i
-                     for i in range(len(indices))]
-            self._clip_counter += len(indices)
-            futures = [
-                self.pool.submit(self._load_clip, self.samples[j], plan, s)
-                for j, s in zip(indices, seeds)]
+        # Submit decode work `pipeline_batches` iterations ahead so one slow
+        # decode stalls only its own batch's *assembly*, not the pool: the
+        # threads keep draining later batches' futures in the meantime
+        # (replaces the reference's 2*num_workers task prefetch,
+        # dataloader.py:745-747).
+        import collections
+        plans = iter(self.schedule.epoch(num_iterations))
+        pending: "collections.deque" = collections.deque()
+        for plan in plans:
+            pending.append(self._submit(plan))
+            if len(pending) >= self.pipeline_batches:
+                break
+        while pending:
+            plan, futures = pending.popleft()
+            nxt = next(plans, None)
+            if nxt is not None:
+                pending.append(self._submit(nxt))
             clips, flips, labels = zip(*(f.result() for f in futures))
             yield {
                 "clip": np.stack(clips),

@@ -41,16 +41,23 @@ SubBNState = Dict[str, Any]
 EPS = 1e-5
 MOMENTUM = 0.1
 
-# Fused Pallas training kernel (ops/pallas/subbn_fused.py).  Measured on
-# v5e it does not yet beat XLA's emission at X3D channel widths (lane
-# padding C<128 dominates), so the default is the XLA expression; True
-# forces the kernel (CPU runs it in interpret mode — tests only).
-FUSED_TRAIN = False
+# SubBN training implementation selector:
+#   "lanes"  — dense-lane XLA expression: collapse (W, C) into the minor
+#              dim so thin X3D channels (C=24..216) stop wasting 128-lane
+#              vector slots.  X3D-M stage shapes give W*C == 2688 = 21*128
+#              exactly at crop 224.  Default.
+#   False    — the naive channels-minor XLA expression (C on lanes; at
+#              C=24 only 24/128 lanes carry data, ~170 GB/s effective).
+#   True     — fused Pallas kernel (ops/pallas/subbn_fused.py); measured
+#              slower than XLA on v5e (two-phase revisiting grid), kept
+#              for reference.
+#   "auto"   — Pallas kernel on TPU backends, naive elsewhere.
+FUSED_TRAIN = "lanes"
 
 
 def set_fused_train(mode) -> None:
-    """Select the SubBN training implementation: True / False / 'auto'
-    ('auto' = kernel on TPU backends)."""
+    """Select the SubBN training implementation: 'lanes' / True / False /
+    'auto' (see FUSED_TRAIN)."""
     global FUSED_TRAIN
     FUSED_TRAIN = mode
 
@@ -100,6 +107,35 @@ def aggregate_subbn_stats(state: SubBNState) -> SubBNState:
     return {**state, "mean": mean, "var": var}
 
 
+def _lanes_stats_normalize(x, s: int, eps: float):
+    """Dense-lane SubBN train math: collapse ``(W, C)`` into the minor dim.
+
+    With channels-last activations and thin X3D channels (C=24..216), the
+    natural layout leaves 128-C vector lanes empty on every load, capping
+    the BN passes at ~C/128 of HBM bandwidth.  Viewing ``x`` as
+    ``(N/S, S, T*H, W*C)`` makes every load dense (X3D-M stage shapes at
+    crop 224 give W*C = 2688 = 21*128 exactly); stats reduce to ``(S, W*C)``
+    then fold the W copies on a tiny array.  Same arithmetic as the naive
+    path (biased mean2-mean^2 in >=fp32, normalize in x.dtype), so results
+    are bit-comparable.
+    """
+    n, t, h, w, c = x.shape
+    acc = jnp.promote_types(x.dtype, jnp.float32)
+    xr = x.reshape(n // s, s, t * h, w * c)
+    xf = xr.astype(acc)
+    cnt = (n // s) * t * h * w
+    sum_wc = jnp.sum(xf, axis=(0, 2))                    # (S, W*C)
+    sq_wc = jnp.sum(jnp.square(xf), axis=(0, 2))
+    mean = sum_wc.reshape(s, w, c).sum(axis=1) / cnt     # (S, C)
+    mean2 = sq_wc.reshape(s, w, c).sum(axis=1) / cnt
+    var = jnp.maximum(mean2 - jnp.square(mean), 0.0)     # biased
+    inv = jax.lax.rsqrt(var + eps)
+    mean_t = jnp.tile(mean, (1, w)).astype(x.dtype)      # (S, W*C)
+    inv_t = jnp.tile(inv, (1, w)).astype(x.dtype)
+    y = (xr - mean_t[None, :, None, :]) * inv_t[None, :, None, :]
+    return mean, var, y.reshape(x.shape)
+
+
 def sub_batch_norm(x, scale, bias, state: SubBNState, *, train: bool,
                    momentum: float = MOMENTUM, eps: float = EPS):
     """Apply SubBN to ``x`` of shape ``(N, T, H, W, C)``.
@@ -131,17 +167,20 @@ def sub_batch_norm(x, scale, bias, state: SubBNState, *, train: bool,
                              + momentum * (var * unbias),
             }
             return y, new_state
-        xg = x.reshape(n // s, s, *x.shape[1:])  # sample i*S+s -> split s
-        # Stats in at least fp32 (fp32 for bf16 activations; f64 stays f64
-        # so the float64 reference-parity test is exact).
-        xf = xg.astype(jnp.promote_types(x.dtype, jnp.float32))
-        mean = jnp.mean(xf, axis=(0, 2, 3, 4))              # (S, C)
-        mean2 = jnp.mean(jnp.square(xf), axis=(0, 2, 3, 4))
-        var = jnp.maximum(mean2 - jnp.square(mean), 0.0)     # biased
-        inv = jax.lax.rsqrt(var + eps)
-        y = (xg - mean[None, :, None, None, None, :].astype(x.dtype)) * \
-            inv[None, :, None, None, None, :].astype(x.dtype)
-        y = y.reshape(x.shape)
+        if FUSED_TRAIN == "lanes":
+            mean, var, y = _lanes_stats_normalize(x, s, eps)
+        else:
+            xg = x.reshape(n // s, s, *x.shape[1:])  # sample i*S+s -> split s
+            # Stats in at least fp32 (fp32 for bf16 activations; f64 stays
+            # f64 so the float64 reference-parity test is exact).
+            xf = xg.astype(jnp.promote_types(x.dtype, jnp.float32))
+            mean = jnp.mean(xf, axis=(0, 2, 3, 4))              # (S, C)
+            mean2 = jnp.mean(jnp.square(xf), axis=(0, 2, 3, 4))
+            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)     # biased
+            inv = jax.lax.rsqrt(var + eps)
+            y = (xg - mean[None, :, None, None, None, :].astype(x.dtype)) * \
+                inv[None, :, None, None, None, :].astype(x.dtype)
+            y = y.reshape(x.shape)
 
         n_per = (n // s) * x.shape[1] * x.shape[2] * x.shape[3]
         unbias = n_per / max(n_per - 1, 1)
