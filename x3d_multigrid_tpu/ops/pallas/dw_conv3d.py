@@ -1,5 +1,9 @@
 """Pallas TPU kernel: depthwise 3x3x3 conv, channels-last.
 
+STATUS: EXPERIMENTAL, NOT WIRED — measured slower than XLA at every X3D
+shape (lane-starved at C<128; see ops/pallas/README.md and
+docs/roofline.md).  The model always takes the XLA path in ops/conv3d.py.
+
 The X3D hot spot (reference needs a patched PyTorch CUDA build for this op,
 README.md:20,31).  On TPU the op is VPU/HBM-bound: 27 fused multiply-adds
 per element with C on the 128-lane axis.  The kernel computes one (n, t,
