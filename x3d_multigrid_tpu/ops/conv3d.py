@@ -22,6 +22,31 @@ from jax import lax
 
 DIMSPEC = ("NDHWC", "DHWIO", "NDHWC")
 
+# Depthwise 3x3x3 implementation selector:
+#   "xla"           — lax.conv_general_dilated (feature_group_count=C).
+#   "pallas_packed" — free-offset Pallas kernel, batch-packed lanes
+#                     (ops/pallas/dw_conv3d_free.py); TPU only, stride-1
+#                     SAME blocks only (others fall back to XLA).
+#   "pallas_nc"     — same kernel, natural (N,T,H,W,C) layout.
+DW_IMPL = "xla"
+
+
+def set_dw_impl(mode: str) -> None:
+    """Select the depthwise-conv implementation ('xla' / 'pallas_packed' /
+    'pallas_nc')."""
+    global DW_IMPL
+    DW_IMPL = mode
+
+
+def _pallas_dw_ok(x, w, spatial_stride, padding) -> bool:
+    if spatial_stride != 1 or padding != (1, 1, 1):
+        return False
+    if w.shape[:3] != (3, 3, 3):
+        return False
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    return True
+
 
 def conv3d(x, w, *, stride=(1, 1, 1), padding=(0, 0, 0), groups=1,
            precision=None, preferred_dtype=None):
@@ -72,6 +97,12 @@ def depthwise_conv3d(x, w, *, spatial_stride=1, padding=(1, 1, 1)):
     temporal stride always 1, symmetric padding.  ``w`` is
     ``(kd, kh, kw, 1, C)``.
     """
+    if DW_IMPL != "xla" and _pallas_dw_ok(x, w, spatial_stride, padding):
+        from x3d_multigrid_tpu.ops.pallas.dw_conv3d_free import (
+            dw_conv3d_free,
+        )
+        layout = "packed" if DW_IMPL == "pallas_packed" else "nc"
+        return dw_conv3d_free(x, w, layout)
     c = x.shape[-1]
     return conv3d(
         x, w,

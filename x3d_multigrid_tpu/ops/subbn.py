@@ -28,6 +28,7 @@ On a data-parallel mesh, splits are local to each chip (the reference's
 §5.8); callers inside ``shard_map`` simply pass their local shard.
 """
 
+import functools
 from typing import Any, Dict
 
 import jax
@@ -42,10 +43,15 @@ EPS = 1e-5
 MOMENTUM = 0.1
 
 # SubBN training implementation selector:
-#   "lanes"  — dense-lane XLA expression: collapse (W, C) into the minor
-#              dim so thin X3D channels (C=24..216) stop wasting 128-lane
-#              vector slots.  X3D-M stage shapes give W*C == 2688 = 21*128
-#              exactly at crop 224.  Default.
+#   "cvjp"   — dense-lane layout + hand-written backward (custom_vjp):
+#              the textbook 2-pass BN gradient (two reductions over (g, x),
+#              then dx = A*g + B*x + C per (split, channel)) instead of
+#              autodiff's mean/mean2 transpose graph, and the forward
+#              normalize+affine folded into one FMA (y = a*x + b).  Default.
+#   "lanes"  — dense-lane XLA expression, autodiff backward: collapse
+#              (W, C) into the minor dim so thin X3D channels (C=24..216)
+#              stop wasting 128-lane vector slots.  X3D-M stage shapes give
+#              W*C == 2688 = 21*128 exactly at crop 224.
 #   False    — the naive channels-minor XLA expression (C on lanes; at
 #              C=24 only 24/128 lanes carry data, ~170 GB/s effective).
 #   True     — fused Pallas kernel (ops/pallas/subbn_fused.py); measured
@@ -136,6 +142,89 @@ def _lanes_stats_normalize(x, s: int, eps: float):
     return mean, var, y.reshape(x.shape)
 
 
+def _split_stats_lanes(x, s: int):
+    """Per-split batch stats in the dense-lane layout: reduce
+    ``(N/S, S, T*H, W*C)`` over axes (0, 2) then fold the W copies.
+    Returns ``(mean, var)`` of shape (S, C) in the accumulation dtype
+    (fp32 for bf16/fp32 inputs; f64 stays f64)."""
+    n, t, h, w, c = x.shape
+    acc = jnp.promote_types(x.dtype, jnp.float32)
+    xf = x.reshape(n // s, s, t * h, w * c).astype(acc)
+    cnt = (n // s) * t * h * w
+    sum_wc = jnp.sum(xf, axis=(0, 2))                    # (S, W*C)
+    sq_wc = jnp.sum(jnp.square(xf), axis=(0, 2))
+    mean = sum_wc.reshape(s, w, c).sum(axis=1) / cnt     # (S, C)
+    mean2 = sq_wc.reshape(s, w, c).sum(axis=1) / cnt
+    var = jnp.maximum(mean2 - jnp.square(mean), 0.0)     # biased
+    return mean, var
+
+
+def _tile_wc(v, w, dtype):
+    """(S, C) -> (1, S, 1, W*C) broadcast constant for the lanes layout."""
+    s = v.shape[0]
+    return jnp.tile(v, (1, w)).astype(dtype)[None, :, None, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _norm_affine_cvjp(s, eps, x, mean, var, scale, bias):
+    """``y = (x - mean) * rsqrt(var + eps) * scale + bias`` per (split,
+    channel), with a hand-written backward implementing the full batch-norm
+    gradient (mean/var treated as functions of x even though the primal
+    receives them precomputed — pass them in stop_gradient'd).
+
+    Forward folds the four elementwise ops into one FMA per element:
+    ``y = x * A + B`` with per-(S, C) constants.  Backward is the textbook
+    two-pass form: one fused read of (g, x) for the two reductions
+    ``sum(g)`` and ``sum(g*x)``, then ``dx = A*g + B2*x + C1``.
+    """
+    n, t, h, w, c = x.shape
+    acc = jnp.promote_types(x.dtype, jnp.float32)
+    inv = jax.lax.rsqrt(var.astype(acc) + eps)           # (S, C)
+    a = inv * scale.astype(acc)
+    b = bias.astype(acc) - mean.astype(acc) * a
+    xr = x.reshape(n // s, s, t * h, w * c)
+    y = xr * _tile_wc(a, w, x.dtype) + _tile_wc(b, w, x.dtype)
+    return y.reshape(x.shape)
+
+
+def _norm_affine_fwd(s, eps, x, mean, var, scale, bias):
+    y = _norm_affine_cvjp(s, eps, x, mean, var, scale, bias)
+    return y, (x, mean, var, scale)
+
+
+def _norm_affine_bwd(s, eps, res, g):
+    x, mean, var, scale = res
+    n, t, h, w, c = x.shape
+    acc = jnp.promote_types(x.dtype, jnp.float32)
+    inv = jax.lax.rsqrt(var.astype(acc) + eps)           # (S, C)
+    cnt = (n // s) * t * h * w
+
+    gr = g.reshape(n // s, s, t * h, w * c)
+    xr = x.reshape(n // s, s, t * h, w * c)
+    gf = gr.astype(acc)
+    # pass 1: the two reductions, fused over one read of (g, x)
+    gg_wc = jnp.sum(gf, axis=(0, 2))                     # (S, W*C)
+    ggx_wc = jnp.sum(gf * xr.astype(acc), axis=(0, 2))
+    gg = gg_wc.reshape(s, w, c).sum(axis=1)              # (S, C)
+    ggx = ggx_wc.reshape(s, w, c).sum(axis=1)
+    gxhat = (ggx - mean.astype(acc) * gg) * inv          # sum(g * xhat)
+
+    dbias = jnp.sum(gg, axis=0).astype(scale.dtype)
+    dscale = jnp.sum(gxhat, axis=0).astype(scale.dtype)
+
+    # pass 2: dx = A*g + B2*x + C1
+    a = inv * scale.astype(acc)                          # (S, C)
+    b2 = -a * inv * gxhat / cnt
+    c1 = -a * gg / cnt - b2 * mean.astype(acc)
+    dx = (gr * _tile_wc(a, w, x.dtype)
+          + xr * _tile_wc(b2, w, x.dtype)
+          + _tile_wc(c1, w, x.dtype)).reshape(x.shape)
+    return (dx, jnp.zeros_like(mean), jnp.zeros_like(var), dscale, dbias)
+
+
+_norm_affine_cvjp.defvjp(_norm_affine_fwd, _norm_affine_bwd)
+
+
 def sub_batch_norm(x, scale, bias, state: SubBNState, *, train: bool,
                    momentum: float = MOMENTUM, eps: float = EPS):
     """Apply SubBN to ``x`` of shape ``(N, T, H, W, C)``.
@@ -165,6 +254,25 @@ def sub_batch_norm(x, scale, bias, state: SubBNState, *, train: bool,
                               + momentum * mean,
                 "split_var": (1 - momentum) * state["split_var"]
                              + momentum * (var * unbias),
+            }
+            return y, new_state
+        if FUSED_TRAIN == "cvjp":
+            mean, var = _split_stats_lanes(x, s)
+            mean = jax.lax.stop_gradient(mean)
+            var = jax.lax.stop_gradient(var)
+            # custom backward implements the full BN gradient; affine is
+            # folded in, so return early (no trailing scale/bias apply)
+            y = _norm_affine_cvjp(s, eps, x, mean, var, scale, bias)
+            n_per = (n // s) * x.shape[1] * x.shape[2] * x.shape[3]
+            unbias = n_per / max(n_per - 1, 1)
+            new_state = {
+                **state,
+                "split_mean": (1 - momentum) * state["split_mean"]
+                              + momentum * mean.astype(
+                                  state["split_mean"].dtype),
+                "split_var": (1 - momentum) * state["split_var"]
+                             + momentum * (var * unbias).astype(
+                                 state["split_var"].dtype),
             }
             return y, new_state
         if FUSED_TRAIN == "lanes":
