@@ -1,0 +1,82 @@
+"""Orbax checkpoint backend: round-trip, retention, npz interchange."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from x3d_multigrid_tpu.models import x3d_config, init_params, init_bn_state
+from x3d_multigrid_tpu.train import init_momentum
+from x3d_multigrid_tpu.train.orbax_ckpt import (
+    OrbaxCheckpointer, have_orbax, npz_to_orbax, orbax_to_npz,
+)
+from x3d_multigrid_tpu.train.checkpoint import (
+    save_checkpoint, load_checkpoint,
+)
+
+pytestmark = pytest.mark.skipif(not have_orbax(),
+                                reason="orbax not installed")
+
+# tiny model so the test is fast on the 1-core host
+CFG = x3d_config("M", n_classes=11, blocks_override=(1, 1, 1, 1),
+                 inplanes_override=((6, 4), (12, 8), (12, 8), (16, 8)))
+
+
+def _trees(seed=0):
+    import jax
+    params = init_params(jax.random.PRNGKey(seed), CFG)
+    bn = init_bn_state(CFG, num_splits=2)
+    mom = init_momentum(params)
+    return params, bn, mom
+
+
+def _assert_tree_equal(a, b):
+    import jax
+    fa, fb = jax.tree.leaves(a), jax.tree.leaves(b)
+    assert len(fa) == len(fb)
+    for x, y in zip(fa, fb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_save_restore_roundtrip(tmp_path):
+    params, bn, mom = _trees()
+    ckpt = OrbaxCheckpointer(str(tmp_path / "run"), async_save=True)
+    try:
+        ckpt.save(40, params=params, bn_state=bn, momentum=mom,
+                  meta={"long_ind": 2, "lr_step": 40})
+        ckpt.wait()
+        out = ckpt.restore()
+        assert out["step"] == 40
+        assert out["meta"] == {"long_ind": 2, "lr_step": 40}
+        _assert_tree_equal(out["params"], params)
+        _assert_tree_equal(out["bn_state"], bn)
+        _assert_tree_equal(out["momentum"], mom)
+    finally:
+        ckpt.close()
+
+
+def test_retention_prunes_old_steps(tmp_path):
+    params, bn, _ = _trees()
+    ckpt = OrbaxCheckpointer(str(tmp_path / "run"), max_to_keep=2,
+                             async_save=False)
+    try:
+        for step in (1, 2, 3):
+            ckpt.save(step, params=params, bn_state=bn)
+        ckpt.wait()
+        assert sorted(ckpt.all_steps()) == [2, 3]
+    finally:
+        ckpt.close()
+
+
+def test_npz_interchange(tmp_path):
+    params, bn, mom = _trees(seed=3)
+    npz = str(tmp_path / "a.npz")
+    save_checkpoint(npz, params=params, bn_state=bn, momentum=mom,
+                    meta={"step": 7})
+    npz_to_orbax(npz, str(tmp_path / "orb"), step=7)
+    back = str(tmp_path / "b.npz")
+    orbax_to_npz(str(tmp_path / "orb"), back)
+    data = load_checkpoint(back)
+    _assert_tree_equal(data["params"], params)
+    _assert_tree_equal(data["bn_state"], bn)
+    _assert_tree_equal(data["momentum"], mom)
+    assert data["meta"] == {"step": 7}

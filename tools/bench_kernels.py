@@ -20,8 +20,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from x3d_multigrid_tpu.ops import conv3d as conv_mod
-from x3d_multigrid_tpu.ops import subbn as subbn_mod
+import importlib
+
+# ops/__init__ re-exports a *function* named conv3d which shadows the
+# submodule on attribute access — resolve the module explicitly.
+conv_mod = importlib.import_module("x3d_multigrid_tpu.ops.conv3d")
+subbn_mod = importlib.import_module("x3d_multigrid_tpu.ops.subbn")
 
 # (N, T, H, W, C) stride-1 dw-conv shapes per X3D-M stage (fine bucket,
 # per-chip batch 32 = global 128 / 4 chips)
@@ -73,11 +77,15 @@ def bench_dw(iters, dtype):
                 return y * 0.999  # keep the chain bounded
 
             def fwdbwd_step(xx):
-                g = jax.grad(
-                    lambda z: jnp.sum(
-                        conv_mod.depthwise_conv3d(z, k)
-                        .astype(jnp.float32)))(xx)
-                return xx - 1e-6 * g.astype(xx.dtype)
+                # sin wrap: a linear op under a sum loss has a CONSTANT
+                # cotangent that XLA folds away; cos(conv(z)) forces the
+                # real fwd + dx + dk computation every iteration
+                gx, gk = jax.grad(
+                    lambda z, kk: jnp.sum(jnp.sin(
+                        conv_mod.depthwise_conv3d(z, kk)
+                        .astype(jnp.float32))), argnums=(0, 1))(xx, k)
+                return (xx - 1e-6 * gx.astype(xx.dtype)
+                        + (1e-9 * jnp.sum(gk)).astype(xx.dtype))
 
             _chain_time(fwd_step, x0, iters, f"{impl} fwd")
             _chain_time(fwdbwd_step, x0, iters, f"{impl} fwd+bwd")
@@ -102,10 +110,10 @@ def bench_subbn(iters, dtype):
             subbn_mod.set_fused_train(mode)
 
             def fwdbwd_step(xx):
-                g = jax.grad(lambda z: jnp.sum(
+                g = jax.grad(lambda z: jnp.sum(jnp.sin(
                     subbn_mod.sub_batch_norm(
                         z, scale, bias, st, train=True)[0]
-                    .astype(jnp.float32)))(xx)
+                    .astype(jnp.float32))))(xx)
                 return xx - 1e-6 * g.astype(xx.dtype)
 
             _chain_time(fwdbwd_step, x0, iters, f"{mode} fwd+bwd")
@@ -139,8 +147,7 @@ def bench_full_step(steps, dtype_name):
     prng = jax.random.PRNGKey(42)
     lr = jnp.float32(0.1)
 
-    combos = [("lanes", "xla"), ("cvjp", "xla"),
-              ("cvjp", "pallas_packed"), ("cvjp", "pallas_nc")]
+    combos = [("lanes", "xla"), ("cvjp", "xla")]
     print(f"# full step bucket (128,8,224,4) {dtype_name}", flush=True)
     for bn_mode, dw_mode in combos:
         subbn_mod.set_fused_train(bn_mode)

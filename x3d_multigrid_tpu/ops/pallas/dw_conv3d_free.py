@@ -47,12 +47,14 @@ def set_interpret(v: bool) -> None:
     _INTERPRET = v
 
 
-def _pick_h_blk(h: int) -> int:
-    """Largest block <=16 dividing H (halo re-read stays <= +14%)."""
-    for cand in (16, 14, 8, 7, 4, 2, 1):
-        if h % cand == 0:
+def _pick_h_blk(h: int, row_bytes: int, budget: int) -> int:
+    """Largest block <=16 dividing H whose slab (h_blk+2 rows of
+    ``row_bytes``) fits the VMEM ``budget``."""
+    best = 1
+    for cand in (16, 14, 8, 7, 5, 4, 2, 1):
+        if h % cand == 0 and (cand + 2) * row_bytes <= budget:
             return cand
-    return 1
+    return best
 
 
 def _taps():
@@ -62,25 +64,40 @@ def _taps():
                 yield dt * 9 + dh * 3 + dw, dt, dh, dw
 
 
-def _fwd_kernel(w_ref, xp_ref, y_ref, slab, sem, *, d1, h_blk, d3, m,
-                flip):
+def _fwd_kernel(w_ref, xp_ref, y_ref, *scratch, d1, h_blk, d3, m, flip,
+                cast):
+    # w_ref is pre-converted to f32 by the wrapper; the slab is converted
+    # to f32 ONCE here (a single vector pass) so the 27 tap FMAs carry no
+    # per-tap dtype-extension ops.
+    if cast:
+        slab, slab32, sem = scratch
+    else:
+        slab, sem = scratch
+        slab32 = slab
     b = pl.program_id(0)
     hb = pl.program_id(1)
     cp = pltpu.make_async_copy(
         xp_ref.at[b, :, pl.ds(hb * h_blk, h_blk + 2), :, :], slab, sem)
     cp.start()
     cp.wait()
+    if cast:
+        slab32[:] = slab[:].astype(jnp.float32)
     acc = None
     for tap, dt, dh, dw in _taps():
         widx = 26 - tap if flip else tap
-        xs = slab[dt:dt + d1, dh:dh + h_blk, dw:dw + d3, :]
-        term = xs.astype(jnp.float32) * w_ref[widx, :].astype(jnp.float32)
+        xs = slab32[dt:dt + d1, dh:dh + h_blk, dw:dw + d3, :]
+        term = xs * w_ref[widx, :]
         acc = term if acc is None else acc + term
     y_ref[0] = acc.astype(y_ref.dtype)
 
 
-def _bwd_kernel(w_ref, gp_ref, xp_ref, dx_ref, dk_ref, gslab, xslab, sem,
-                *, d1, h_blk, d3, m):
+def _bwd_kernel(w_ref, gp_ref, xp_ref, dx_ref, dk_ref, *scratch, d1,
+                h_blk, d3, m, cast):
+    if cast:
+        gslab, xslab, g32, x32, sem = scratch
+    else:
+        gslab, xslab, sem = scratch
+        g32, x32 = gslab, xslab
     b = pl.program_id(0)
     hb = pl.program_id(1)
     cpg = pltpu.make_async_copy(
@@ -93,29 +110,33 @@ def _bwd_kernel(w_ref, gp_ref, xp_ref, dx_ref, dk_ref, gslab, xslab, sem,
     cpx.start()
     cpg.wait()
     cpx.wait()
+    if cast:
+        g32[:] = gslab[:].astype(jnp.float32)
+        x32[:] = xslab[:].astype(jnp.float32)
 
-    g_in = gslab[1:1 + d1, 1:1 + h_blk, 1:1 + d3, :].astype(jnp.float32)
+    g_in = g32[1:1 + d1, 1:1 + h_blk, 1:1 + d3, :]
     acc = None
     for tap, dt, dh, dw in _taps():
         # dx = conv(gp, flipped taps): same loop, weight index mirrored
-        gs = gslab[dt:dt + d1, dh:dh + h_blk, dw:dw + d3, :]
-        term = gs.astype(jnp.float32) * w_ref[26 - tap, :].astype(
-            jnp.float32)
+        gs = g32[dt:dt + d1, dh:dh + h_blk, dw:dw + d3, :]
+        term = gs * w_ref[26 - tap, :]
         acc = term if acc is None else acc + term
         # dk[tap] partial: <g, x shifted by tap> reduced over this block
-        xs = xslab[dt:dt + d1, dh:dh + h_blk, dw:dw + d3, :]
-        dk_ref[0, 0, tap, :] = jnp.sum(g_in * xs.astype(jnp.float32),
-                                       axis=(0, 1, 2))
+        xs = x32[dt:dt + d1, dh:dh + h_blk, dw:dw + d3, :]
+        dk_ref[0, 0, tap, :] = jnp.sum(g_in * xs, axis=(0, 1, 2))
     dx_ref[0] = acc.astype(dx_ref.dtype)
 
 
 def _pad_thw(x5):
-    """Zero-pad dims 1..3 of (B, D1, D2, D3, M) by 1 on each side, and the
-    minor dim M up to a multiple of 128 (Mosaic requires lane-dim-aligned
-    HBM buffers for sliced DMA)."""
-    m = x5.shape[-1]
+    """Zero-pad dims 1..3 of (B, D1, D2, D3, M) by 1 on each side, then
+    round the last two dims up to the HBM tile granularity: Mosaic requires
+    sliced-DMA buffers to be lane-aligned (minor dim multiple of 128) and
+    sublane-aligned (second-minor multiple of 8)."""
+    d3, m = x5.shape[-2], x5.shape[-1]
     m_pad = (-m) % 128
-    return jnp.pad(x5, ((0, 0), (1, 1), (1, 1), (1, 1), (0, m_pad)))
+    d3_pad = (-(d3 + 2)) % 8
+    return jnp.pad(x5, ((0, 0), (1, 1), (1, 1), (1, 1 + d3_pad),
+                        (0, m_pad)))
 
 
 def _pad_lanes(a2):
@@ -123,14 +144,21 @@ def _pad_lanes(a2):
     return jnp.pad(a2, ((0, 0), (0, (-a2.shape[-1]) % 128)))
 
 
-def _run_fwd(xp, w27, out_dtype, *, flip=False, h_blk=None):
-    """xp: (B, D1+2, D2+2, D3+2, M) pre-padded; w27: (27, M)."""
+def _run_fwd(xp, w27, out_dtype, d3, *, flip=False, h_blk=None):
+    """xp: (B, D1+2, D2+2, >=D3+2, M) pre-padded (tile-aligned trailing
+    dims); w27: (27, M); d3 = true output width."""
     b, d1p, d2p, d3p, m = xp.shape
-    d1, d2, d3 = d1p - 2, d2p - 2, d3p - 2
-    h_blk = h_blk or _pick_h_blk(d2)
+    d1, d2 = d1p - 2, d2p - 2
+    cast = xp.dtype != jnp.float32
+    row = d1p * d3p * m * (xp.dtype.itemsize + (4 if cast else 0))
+    h_blk = h_blk or _pick_h_blk(d2, row, 7 << 20)
     grid = (b, d2 // h_blk)
     kern = functools.partial(_fwd_kernel, d1=d1, h_blk=h_blk, d3=d3, m=m,
-                             flip=flip)
+                             flip=flip, cast=cast)
+    scratch = [pltpu.VMEM((d1p, h_blk + 2, d3p, m), xp.dtype)]
+    if cast:
+        scratch.append(pltpu.VMEM((d1p, h_blk + 2, d3p, m), jnp.float32))
+    scratch.append(pltpu.SemaphoreType.DMA(()))
     return pl.pallas_call(
         kern,
         grid=grid,
@@ -143,21 +171,29 @@ def _run_fwd(xp, w27, out_dtype, *, flip=False, h_blk=None):
             lambda bb, hh: (bb, 0, hh, 0, 0),
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, d1, d2, d3, m), out_dtype),
-        scratch_shapes=[
-            pltpu.VMEM((d1 + 2, h_blk + 2, d3 + 2, m), xp.dtype),
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        scratch_shapes=scratch,
         interpret=_INTERPRET,
-    )(w27, xp)
+    )(w27.astype(jnp.float32), xp)
 
 
-def _run_bwd(gp, xp, w27, out_dtype, *, h_blk=None):
-    """Fused dx + dk partials.  gp/xp: (B, D1+2, D2+2, D3+2, M)."""
+def _run_bwd(gp, xp, w27, out_dtype, d3, *, h_blk=None):
+    """Fused dx + dk partials.  gp/xp: (B, D1+2, D2+2, >=D3+2, M)."""
     b, d1p, d2p, d3p, m = xp.shape
-    d1, d2, d3 = d1p - 2, d2p - 2, d3p - 2
-    h_blk = h_blk or _pick_h_blk(d2)
+    d1, d2 = d1p - 2, d2p - 2
+    cast = xp.dtype != jnp.float32
+    row = 2 * d1p * d3p * m * (xp.dtype.itemsize + (4 if cast else 0))
+    h_blk = h_blk or _pick_h_blk(d2, row, 9 << 20)
     nh = d2 // h_blk
-    kern = functools.partial(_bwd_kernel, d1=d1, h_blk=h_blk, d3=d3, m=m)
+    kern = functools.partial(_bwd_kernel, d1=d1, h_blk=h_blk, d3=d3, m=m,
+                             cast=cast)
+    scratch = [
+        pltpu.VMEM((d1p, h_blk + 2, d3p, m), gp.dtype),
+        pltpu.VMEM((d1p, h_blk + 2, d3p, m), xp.dtype),
+    ]
+    if cast:
+        scratch.append(pltpu.VMEM((d1p, h_blk + 2, d3p, m), jnp.float32))
+        scratch.append(pltpu.VMEM((d1p, h_blk + 2, d3p, m), jnp.float32))
+    scratch.append(pltpu.SemaphoreType.DMA((2,)))
     dx, dk_part = pl.pallas_call(
         kern,
         grid=(b, nh),
@@ -178,13 +214,9 @@ def _run_bwd(gp, xp, w27, out_dtype, *, h_blk=None):
             jax.ShapeDtypeStruct((b, d1, d2, d3, m), out_dtype),
             jax.ShapeDtypeStruct((b, nh, 27, m), jnp.float32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((d1 + 2, h_blk + 2, d3 + 2, m), gp.dtype),
-            pltpu.VMEM((d1 + 2, h_blk + 2, d3 + 2, m), xp.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
         interpret=_INTERPRET,
-    )(w27, gp, xp)
+    )(w27.astype(jnp.float32), gp, xp)
     return dx, jnp.sum(dk_part, axis=(0, 1))  # (27, M)
 
 
@@ -237,10 +269,10 @@ def _dw_free_fwd_impl(x, w, layout):
         n_blk = _pick_n_blk(n, c)
         xp = _pad_thw(_to_packed(x, n_blk))
         wt = _pad_lanes(jnp.tile(w27, (1, n_blk)))
-        y = _run_fwd(xp, wt, x.dtype)[..., :n_blk * c]
+        y = _run_fwd(xp, wt, x.dtype, w_)[..., :n_blk * c]
         return _from_packed(y, n_blk)
     xp = _pad_thw(x)
-    return _run_fwd(xp, _pad_lanes(w27), x.dtype)[..., :c]
+    return _run_fwd(xp, _pad_lanes(w27), x.dtype, w_)[..., :c]
 
 
 def _dw_free_vjp_fwd(x, w, layout):
@@ -256,13 +288,13 @@ def _dw_free_vjp_bwd(layout, res, g):
         gp = _pad_thw(_to_packed(g, n_blk))
         xp = _pad_thw(_to_packed(x, n_blk))
         wt = _pad_lanes(jnp.tile(w27, (1, n_blk)))
-        dx, dk_m = _run_bwd(gp, xp, wt, g.dtype)
+        dx, dk_m = _run_bwd(gp, xp, wt, g.dtype, w_)
         dx = _from_packed(dx[..., :n_blk * c], n_blk)
         dk = jnp.sum(dk_m[:, :n_blk * c].reshape(27, n_blk, c), axis=1)
     else:
         gp = _pad_thw(g)
         xp = _pad_thw(x)
-        dx, dk = _run_bwd(gp, xp, _pad_lanes(w27), g.dtype)
+        dx, dk = _run_bwd(gp, xp, _pad_lanes(w27), g.dtype, w_)
         dx = dx[..., :c]
         dk = dk[:, :c]
     return dx, dk.reshape(w.shape).astype(w.dtype)
