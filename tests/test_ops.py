@@ -98,6 +98,40 @@ class TestConv3d:
         np.testing.assert_allclose(out, _from_torch_nchw(ref),
                                    rtol=1e-4, atol=1e-4)
 
+    @pytest.mark.parametrize("hw", [11, 16])
+    def test_stem_im2col_matches_torch(self, hw):
+        """The im2col stem route (the default; ops/conv3d.py STEM_IMPL)
+        must equal the dense conv it replaces (reference x3d.py:196-201)."""
+        from x3d_multigrid_tpu.ops.conv3d import stem_spatial_conv
+        rng = np.random.RandomState(7)
+        x = rng.randn(2, 3, hw, hw, 3).astype(np.float32)
+        w = rng.randn(1, 3, 3, 3, 8).astype(np.float32)
+        out = stem_spatial_conv(jnp.asarray(x), jnp.asarray(w))
+        ref = tF.conv3d(_to_torch_nchw(x), _w_to_torch(w),
+                        stride=(1, 2, 2), padding=(0, 1, 1))
+        np.testing.assert_allclose(out, _from_torch_nchw(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_stem_im2col_custom_vjp_matches_conv_grads(self):
+        """The hand-written im2col backward (dk matmul + XLA transposed
+        conv dx) must match autodiff of the dense conv."""
+        from x3d_multigrid_tpu.ops.conv3d import stem_spatial_conv
+        rng = np.random.RandomState(11)
+        x = jnp.asarray(rng.randn(2, 3, 12, 12, 3).astype(np.float32))
+        w = jnp.asarray(rng.randn(1, 3, 3, 3, 8).astype(np.float32))
+
+        def loss_im2col(xx, ww):
+            return jnp.sum(jnp.sin(stem_spatial_conv(xx, ww)))
+
+        def loss_conv(xx, ww):
+            return jnp.sum(jnp.sin(conv3d(
+                xx, ww, stride=(1, 2, 2), padding=(0, 1, 1))))
+
+        gx, gw = jax.grad(loss_im2col, argnums=(0, 1))(x, w)
+        rx, rw = jax.grad(loss_conv, argnums=(0, 1))(x, w)
+        np.testing.assert_allclose(gx, rx, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(gw, rw, rtol=1e-4, atol=1e-4)
+
 
 class TestSubBN:
     """Parity with the reference SubBatchNorm3d semantics: the strided

@@ -35,6 +35,7 @@ _ORIG = {
     "sub_batch_norm": mx.sub_batch_norm,
     "swish": mx.swish,
     "conv3d": mx.conv3d,
+    "stem_spatial_conv": mx.stem_spatial_conv,
     "temporal_depthwise_conv": mx.temporal_depthwise_conv,
     "pointwise_conv3d": mx.pointwise_conv3d,
     "_bottleneck": mx._bottleneck,
@@ -58,13 +59,11 @@ def _identity_swish(x):
     return x
 
 
-def _cheap_stem_conv(x, w, *, stride=(1, 1, 1), padding=(0, 0, 0),
-                     groups=1, precision=None, preferred_dtype=None):
+def _cheap_stem_conv(x, w, *, stride=2):
     """Stand-in for the stem conv1_s: strided subsample + channel tile
     (keeps downstream shapes, removes the 3-channel dense conv cost)."""
-    del padding, groups, precision, preferred_dtype
     cout = w.shape[-1]
-    y = x[:, ::stride[0], ::stride[1], ::stride[2], :]
+    y = x[:, :, ::stride, ::stride, :]
     reps = -(-cout // y.shape[-1])
     y = jnp.tile(y, (1, 1, 1, 1, reps))[..., :cout]
     return y * jnp.mean(w)  # keep w in the graph
@@ -93,7 +92,7 @@ VARIANTS = {
                     "sub_batch_norm": _affine_only_bn},
     "no_se": {"_bottleneck": "NO_SE"},
     "no_swish": {"swish": _identity_swish},
-    "no_stem": {"conv3d": _cheap_stem_conv,
+    "no_stem": {"stem_spatial_conv": _cheap_stem_conv,
                 "temporal_depthwise_conv": _identity_tconv},
     "no_preprocess": {},  # handled via preprocess=None + float input
     "remat": {},          # cfg.remat = True

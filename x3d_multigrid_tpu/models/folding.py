@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from x3d_multigrid_tpu.models.x3d import X3DConfig
 from x3d_multigrid_tpu.ops.conv3d import (
     conv3d, pointwise_conv3d, depthwise_conv3d, temporal_depthwise_conv,
+    stem_spatial_conv,
 )
 from x3d_multigrid_tpu.ops.swish import swish
 from x3d_multigrid_tpu.ops.subbn import EPS
@@ -80,8 +81,7 @@ def _se(blk, x):
 def forward_folded(folded: Dict[str, Any], x, *, cfg: X3DConfig):
     """Eval-only forward on BN-folded params (no state, no normalization
     passes).  Same I/O contract as models.x3d.forward in eval mode."""
-    out = conv3d(x, folded["conv1_s"]["w"], stride=(1, 2, 2),
-                 padding=(0, 1, 1))
+    out = stem_spatial_conv(x, folded["conv1_s"]["w"])
     ct = folded["conv1_t"]
     out = temporal_depthwise_conv(out, ct["w"]) + ct["b"]
     out = jax.nn.relu(out)

@@ -32,6 +32,7 @@ from x3d_multigrid_tpu.ops.conv3d import (
     pointwise_conv3d,
     depthwise_conv3d,
     temporal_depthwise_conv,
+    stem_spatial_conv,
     conv3d,
 )
 from x3d_multigrid_tpu.ops.subbn import (
@@ -335,8 +336,7 @@ def forward(params: Params, state: BNState, x, *, cfg: X3DConfig,
     """
     new_state: BNState = {}
 
-    out = conv3d(x, params["conv1_s"]["w"], stride=(1, 2, 2),
-                 padding=(0, 1, 1))
+    out = stem_spatial_conv(x, params["conv1_s"]["w"])
     out = temporal_depthwise_conv(out, params["conv1_t"]["w"])
     out, new_state["bn1"] = sub_batch_norm(
         out, params["bn1"]["scale"], params["bn1"]["bias"], state["bn1"],

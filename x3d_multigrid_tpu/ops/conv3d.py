@@ -16,6 +16,8 @@ Reference weight layout is ``(C_out, C_in/groups, kd, kh, kw)``; see
 ``train/checkpoint.py`` for the converter.
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -110,6 +112,127 @@ def depthwise_conv3d(x, w, *, spatial_stride=1, padding=(1, 1, 1)):
         padding=padding,
         groups=c,
     )
+
+
+# Stem spatial-conv implementation selector ("im2col" / "xla"): XLA's TPU
+# conv lowering pads C_in up to a full register tile, so the stem's dense
+# 1x3x3 conv on 3 RGB channels wastes >40x of its vector work — measured
+# 12.2 ms of a 121 ms X3D-M train step (tools/ablate_step.py).  The
+# im2col route (9 shifted strided slices -> one (9*C_in, C_out) matmul on
+# the MXU) is mathematically identical.
+STEM_IMPL = "im2col"
+
+
+def set_stem_impl(mode: str) -> None:
+    """Select the stem spatial-conv implementation ('im2col' / 'xla')."""
+    global STEM_IMPL
+    STEM_IMPL = mode
+
+
+# --- space-to-depth im2col for the stride-2 3x3 stem conv -------------
+#
+# Naive im2col (9 stride-2 slices -> concat) forces a Mosaic relayout per
+# slice: measured SLOWER than the XLA conv (31.7 ms vs 2.8 fwd at stem
+# shape).  The space-to-depth form does ONE regular relayout — pad, view
+# H and W as (H/2, 2)x(W/2, 2) blocks, move the 2x2 phase into channels —
+# after which the 3x3 stride-2 conv is a 2x2 *stride-1* conv in block
+# space: 4 contiguous slices and a (16*C_in, C_out) MXU matmul (a quarter
+# of the folded taps are zero-padding).  The backward never scatters:
+# dk is the transposed matmul over recomputed patches; dx folds the 4
+# block taps back with shifted pads and inverts the space-to-depth.
+
+
+def _stem_s2d_pack(x):
+    """Pad H/W by 1 (+1 more if odd) and space-to-depth by 2:
+    ``(N, T, HB, WB, 4*C)`` with channel order ``(ph, pw, ci)``."""
+    n, t, h, wd, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1 + h % 2), (1, 1 + wd % 2),
+                     (0, 0)))
+    hp, wp = xp.shape[2], xp.shape[3]
+    xb = xp.reshape(n, t, hp // 2, 2, wp // 2, 2, c)
+    xb = xb.transpose(0, 1, 2, 4, 3, 5, 6)
+    return xb.reshape(n, t, hp // 2, wp // 2, 4 * c)
+
+
+def _stem_block_patches(xb, ho, wo):
+    """2x2 block-space patches: ``(N, T, ho, wo, 16*C_in)``, channel
+    order ``(bh, bw, ph, pw, ci)`` — all slices are stride-1."""
+    cols = [xb[:, :, bh:bh + ho, bw:bw + wo, :]
+            for bh in (0, 1) for bw in (0, 1)]
+    return jnp.concatenate(cols, axis=-1)
+
+
+def _stem_w16(w):
+    """``(1, 3, 3, C_in, C_out)`` -> ``(16*C_in, C_out)`` matching the
+    block-patch channel order (tap ``dh = 2*bh + ph``; dh==3 is zero)."""
+    _, kh, kw, cin, cout = w.shape
+    w4 = jnp.pad(w[0], ((0, 1), (0, 1), (0, 0), (0, 0)))
+    w16 = w4.reshape(2, 2, 2, 2, cin, cout).transpose(0, 2, 1, 3, 4, 5)
+    return w16.reshape(16 * cin, cout)
+
+
+def _stem_out_hw(h, wd):
+    return (h - 1) // 2 + 1, (wd - 1) // 2 + 1
+
+
+@jax.custom_vjp
+def _stem_im2col(x, w):
+    n, t, h, wd, c = x.shape
+    ho, wo = _stem_out_hw(h, wd)
+    patches = _stem_block_patches(_stem_s2d_pack(x), ho, wo)
+    return jnp.einsum("nthwk,kd->nthwd", patches, _stem_w16(w))
+
+
+def _stem_im2col_fwd(x, w):
+    return _stem_im2col(x, w), (x, w)
+
+
+def _stem_im2col_bwd(res, g):
+    x, w = res
+    n, t, h, wd, cin = x.shape
+    _, kh, kw, _, cout = w.shape
+    ho, wo = _stem_out_hw(h, wd)
+    xb = _stem_s2d_pack(x)
+    hb, wb = xb.shape[2], xb.shape[3]
+    patches = _stem_block_patches(xb, ho, wo)
+
+    dk16 = jnp.einsum("nthwk,nthwd->kd", patches, g,
+                      preferred_element_type=jnp.float32)
+    dk4 = dk16.reshape(2, 2, 2, 2, cin, cout).transpose(
+        0, 2, 1, 3, 4, 5).reshape(4, 4, cin, cout)
+    dk = dk4[:kh, :kw][None].astype(w.dtype)
+
+    dpatch = jnp.einsum("nthwd,kd->nthwk", g, _stem_w16(w))
+    dxb = None
+    for i, (bh, bw) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+        chunk = dpatch[..., i * 4 * cin:(i + 1) * 4 * cin]
+        term = jnp.pad(chunk, ((0, 0), (0, 0), (bh, hb - ho - bh),
+                               (bw, wb - wo - bw), (0, 0)))
+        dxb = term if dxb is None else dxb + term
+    dxp = dxb.reshape(n, t, hb, wb, 2, 2, cin).transpose(
+        0, 1, 2, 4, 3, 5, 6).reshape(n, t, 2 * hb, 2 * wb, cin)
+    dx = dxp[:, :, 1:1 + h, 1:1 + wd, :]
+    return dx, dk
+
+
+_stem_im2col.defvjp(_stem_im2col_fwd, _stem_im2col_bwd)
+
+
+def stem_spatial_conv(x, w, *, stride=2):
+    """Dense ``1 x kh x kw`` conv, stride ``(1, s, s)``, padding
+    ``(0, 1, 1)`` — the X3D stem's ``conv1_s`` (reference x3d.py:196-201).
+
+    ``w``: ``(1, kh, kw, C_in, C_out)`` with small ``C_in`` (RGB).  XLA's
+    conv lowering pads C_in=3 up to a full register tile, wasting >40x of
+    the vector work; the default im2col path concatenates the ``kh*kw``
+    shifted strided slices of the padded input into a
+    ``(N, T, H', W', kh*kw*C_in)`` patch tensor and contracts it with
+    ``w`` reshaped to ``(kh*kw*C_in, C_out)`` — one well-shaped MXU
+    matmul — with a hand-written backward (see ``_stem_im2col_bwd``).
+    """
+    if STEM_IMPL == "xla" or stride != 2 or w.shape[1:3] != (3, 3):
+        return conv3d(x, w, stride=(1, stride, stride), padding=(0, 1, 1))
+    return _stem_im2col(x, w)
 
 
 def temporal_depthwise_conv(x, w):

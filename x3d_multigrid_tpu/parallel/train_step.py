@@ -116,7 +116,7 @@ def _build_local_step(cfg: X3DConfig, *, loss: str, momentum: float,
             if preprocess_mean_std is not None:
                 clip = train_preprocess_impl(
                     batch["clip"], batch["flip"], pp_mean, pp_std,
-                    out_size=out_size)
+                    out_size=out_size, dtype=compute_dtype)
             else:
                 clip = batch["clip"]
             if compute_dtype is not None:
@@ -424,7 +424,8 @@ def make_eval_step(cfg: X3DConfig, mesh: Mesh, *, compute_dtype=None,
     def local_fwd(params, bn_state, clip, out_size):
         if preprocess_mean_std is not None:
             clip = eval_preprocess_impl(clip, pp_mean, pp_std,
-                                        out_size=out_size)
+                                        out_size=out_size,
+                                        dtype=compute_dtype)
         if compute_dtype is not None:
             params = _cast_tree(params, compute_dtype)
             clip = clip.astype(compute_dtype)
