@@ -101,7 +101,8 @@ class KineticsTrainLoader:
                  MultigridSchedule, *, reader, short_side: int,
                  crop_size: int, scales, gamma_tau: int,
                  num_threads: int = 8, prefetch: int = 2, seed: int = 0,
-                 adaptive_decode: bool = True, pipeline_batches: int = 2):
+                 adaptive_decode: bool = True, pipeline_batches: int = 2,
+                 process_index: int = 0, process_count: int = 1):
         self.samples = list(samples)
         self.schedule = schedule
         self.reader = reader
@@ -116,6 +117,12 @@ class KineticsTrainLoader:
         self.adaptive_decode = adaptive_decode
         self.pipeline_batches = max(1, pipeline_batches)
         self._clip_counter = 0
+        # Multi-host DP (parallel/multihost.py): every host draws the
+        # IDENTICAL index/seed stream (same seed), then decodes only its
+        # contiguous slice of each global batch — the assembled global
+        # array is bit-identical to a single-host run's.
+        self.process_index = process_index
+        self.process_count = process_count
 
     def _geometry(self, plan: IterationPlan):
         if not self.adaptive_decode or plan.crop == self.crop_size:
@@ -144,6 +151,14 @@ class KineticsTrainLoader:
         seeds = [self.seed + self._clip_counter + i
                  for i in range(len(indices))]
         self._clip_counter += len(indices)
+        if self.process_count > 1:
+            if plan.batch_size % self.process_count:
+                raise ValueError(
+                    f"batch {plan.batch_size} not divisible by "
+                    f"{self.process_count} processes")
+            per = plan.batch_size // self.process_count
+            lo = self.process_index * per
+            indices, seeds = indices[lo:lo + per], seeds[lo:lo + per]
         futures = [
             self.pool.submit(self._load_clip, self.samples[j], plan, s)
             for j, s in zip(indices, seeds)]

@@ -1,4 +1,8 @@
 from x3d_multigrid_tpu.parallel.mesh import data_mesh
+from x3d_multigrid_tpu.parallel.multihost import (
+    initialize as multihost_initialize, host_shard, global_batch_from_local,
+    process_info,
+)
 from x3d_multigrid_tpu.parallel.train_step import (
     make_train_step, make_train_loop, make_grad_accum_step,
     make_grad_microstep, make_apply_step, accumulate_grads, make_eval_step,
@@ -7,6 +11,10 @@ from x3d_multigrid_tpu.parallel.train_step import (
 
 __all__ = [
     "data_mesh",
+    "multihost_initialize",
+    "host_shard",
+    "global_batch_from_local",
+    "process_info",
     "make_train_step",
     "make_train_loop",
     "make_grad_accum_step",

@@ -238,6 +238,19 @@ class MultigridTrainer:
                 batch=plan.batch_size, bn_splits=plan.bn_splits, lr=lr)
 
     # -- steps --------------------------------------------------------------
+    def _stage(self, batch) -> dict:
+        """Host batch -> device arrays.  Single-process: plain transfers
+        (shard_map shards them).  Multi-process (parallel/multihost.py):
+        each host holds only its slice of the global batch
+        (data/loader.py process_index/process_count), assembled here into
+        one globally-sharded array without cross-host movement."""
+        tree = {"clip": batch["clip"], "flip": batch["flip"],
+                "label": batch["label"]}
+        if jax.process_count() > 1:
+            from x3d_multigrid_tpu.parallel import global_batch_from_local
+            return global_batch_from_local(self.mesh, tree)
+        return {k: jnp.asarray(v) for k, v in tree.items()}
+
     def train_batch(self, batch) -> dict:
         """One iteration.  ``batch``: uint8 ``clip`` (B,T,C0,C0,3), ``flip``
         (B,), ``label`` (B,), ``plan``.  Resize/flip/normalize run inside
@@ -252,9 +265,7 @@ class MultigridTrainer:
         self.rng, step_rng = jax.random.split(self.rng)
         self.params, self.momentum, self.bn_state, out = self.train_step(
             self.params, self.momentum, self.bn_state,
-            {"clip": jnp.asarray(batch["clip"]),
-             "flip": jnp.asarray(batch["flip"]),
-             "label": jnp.asarray(batch["label"])},
+            self._stage(batch),
             jnp.float32(lr), step_rng, out_size=plan.crop)
         self.step_count += 1
         self.iterations += 1
@@ -274,9 +285,7 @@ class MultigridTrainer:
         self.rng, step_rng = jax.random.split(self.rng)
         grads, self.bn_state, loss, correct = self.grad_step(
             self.params, self.bn_state,
-            {"clip": jnp.asarray(batch["clip"]),
-             "flip": jnp.asarray(batch["flip"]),
-             "label": jnp.asarray(batch["label"])},
+            self._stage(batch),
             step_rng, out_size=plan.crop)
         if self._grad_sum is None:
             self._grad_sum = grads
@@ -349,9 +358,7 @@ class MultigridTrainer:
             self.params, self.momentum, self.bn_state, out = \
                 self.train_step(
                     self.params, self.momentum, self.bn_state,
-                    {"clip": jnp.asarray(b["clip"]),
-                     "flip": jnp.asarray(b["flip"]),
-                     "label": jnp.asarray(b["label"])},
+                    self._stage(b),
                     jnp.float32(lr), jax.random.fold_in(grp_rng, i),
                     out_size=plan.crop)
             results.append({"loss": out.loss, "correct": out.correct,
