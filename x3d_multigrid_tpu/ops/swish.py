@@ -9,10 +9,20 @@ the backward is a single fused VPU expression.
 
 import jax
 
+# "cvjp" (default): the reference's memory trade via jax.custom_vjp.
+# "xla": plain composition — autodiff through x*sigmoid(x); lets XLA fuse
+# the backward into neighbors (custom_vjp is a fusion boundary), at the
+# cost of whatever residuals its autodiff keeps.  Selectable to measure.
+SWISH_IMPL = "cvjp"
+
+
+def set_swish_impl(mode: str) -> None:
+    global SWISH_IMPL
+    SWISH_IMPL = mode
+
 
 @jax.custom_vjp
-def swish(x):
-    """``x * sigmoid(x)`` (a.k.a. SiLU)."""
+def _swish_cvjp(x):
     return x * jax.nn.sigmoid(x)
 
 
@@ -26,4 +36,11 @@ def _swish_bwd(res, g):
     return (g * (s * (1.0 + x * (1.0 - s))),)
 
 
-swish.defvjp(_swish_fwd, _swish_bwd)
+_swish_cvjp.defvjp(_swish_fwd, _swish_bwd)
+
+
+def swish(x):
+    """``x * sigmoid(x)`` (a.k.a. SiLU)."""
+    if SWISH_IMPL == "xla":
+        return x * jax.nn.sigmoid(x)
+    return _swish_cvjp(x)
