@@ -37,6 +37,46 @@ def _assert_tree_equal(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_trainer_orbax_backend_roundtrip(tmp_path):
+    """MultigridTrainer(ckpt_backend='orbax'): save -> fresh trainer ->
+    restore(dir) resumes step/schedule/LR state like the npz path."""
+    import jax
+    from x3d_multigrid_tpu.train.recipes.kinetics_multigrid import (
+        KineticsRecipe, MultigridTrainer,
+    )
+    from x3d_multigrid_tpu.data.synthetic import synthetic_train_batch
+
+    recipe = KineticsRecipe(
+        batch_size=32, max_epochs=2, dataset_size=256, warmup_steps=2,
+        frames=16, crop_size_override=32, gamma_tau_override=2,
+        base_bs_per_replica=4, const_bn_size=2, short_side=40,
+        compute_dtype=None, out_dir=str(tmp_path / "run"),
+        ckpt_backend="orbax", num_devices=8,
+        model_overrides=dict(
+            blocks_override=(1, 1, 1, 1),
+            inplanes_override=((6, 4), (12, 8), (12, 8), (16, 8)),
+            fc1_dim=16))
+    trainer = MultigridTrainer(recipe, seed=0)
+    for i, plan in enumerate(trainer.schedule.epoch(3)):
+        batch = synthetic_train_batch(
+            plan.batch_size, plan.frames, recipe.crop_size,
+            n_classes=recipe.n_classes, seed=i)
+        batch["plan"] = plan
+        trainer.train_batch(batch)
+    path = trainer.save()
+    trainer._orbax_mgr().wait()
+    assert path.endswith("orbax")
+
+    fresh = MultigridTrainer(recipe, seed=1)
+    fresh.restore(path)
+    assert fresh.step_count == trainer.step_count
+    assert fresh.iterations == trainer.iterations
+    assert fresh.bn_splits == trainer.bn_splits
+    _assert_tree_equal(fresh.params, trainer.params)
+    _assert_tree_equal(fresh.bn_state, trainer.bn_state)
+    assert fresh.lr_ctrl.state_dict() == trainer.lr_ctrl.state_dict()
+
+
 def test_save_restore_roundtrip(tmp_path):
     params, bn, mom = _trees()
     ckpt = OrbaxCheckpointer(str(tmp_path / "run"), async_save=True)

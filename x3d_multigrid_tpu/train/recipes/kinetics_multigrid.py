@@ -74,6 +74,7 @@ class KineticsRecipe:
     ckpt_every_steps: int = 4000
     train_epochs_per_val: int = 4
     out_dir: str = "runs/kinetics_multigrid"
+    ckpt_backend: str = "npz"            # "npz" | "orbax" (async, retained)
     num_devices: Optional[int] = None
     compute_dtype: Optional[str] = "bf16"
     short_side: int = 256                # host decode canonical short side
@@ -412,18 +413,37 @@ class MultigridTrainer:
         return acc
 
     # -- checkpointing ------------------------------------------------------
+    def _ckpt_meta(self) -> dict:
+        return {"step": self.step_count, "iterations": self.iterations,
+                "epochs": self.epochs,
+                "long_ind": self.last_long_from_schedule(),
+                "bn_splits": self.bn_splits,
+                **{f"lr_{k}": v
+                   for k, v in self.lr_ctrl.state_dict().items()}}
+
+    def _orbax_mgr(self):
+        if getattr(self, "_orbax", None) is None:
+            from x3d_multigrid_tpu.train.orbax_ckpt import OrbaxCheckpointer
+            self._orbax = OrbaxCheckpointer(
+                os.path.join(self.recipe.out_dir, "orbax"))
+        return self._orbax
+
     def save(self, path: Optional[str] = None):
-        path = path or os.path.join(
-            self.recipe.out_dir, f"ckpt_{self.step_count:06d}")
-        save_checkpoint(
-            path, params=self.params, bn_state=self.bn_state,
-            momentum=self.momentum,
-            meta={"step": self.step_count, "iterations": self.iterations,
-                  "epochs": self.epochs,
-                  "long_ind": self.last_long_from_schedule(),
-                  "bn_splits": self.bn_splits,
-                  **{f"lr_{k}": v
-                     for k, v in self.lr_ctrl.state_dict().items()}})
+        if self.recipe.ckpt_backend == "orbax":
+            # Async production backend (train/orbax_ckpt.py): the save
+            # returns as soon as the host gather is done; serialization,
+            # retention pruning and the atomic commit happen off-thread.
+            mgr = self._orbax_mgr()
+            mgr.save(self.step_count, params=self.params,
+                     bn_state=self.bn_state, momentum=self.momentum,
+                     meta=self._ckpt_meta())
+            path = os.path.join(self.recipe.out_dir, "orbax")
+        else:
+            path = path or os.path.join(
+                self.recipe.out_dir, f"ckpt_{self.step_count:06d}")
+            save_checkpoint(
+                path, params=self.params, bn_state=self.bn_state,
+                momentum=self.momentum, meta=self._ckpt_meta())
         self.logger.log("checkpoint", path=path, step=self.step_count)
         return path
 
@@ -431,7 +451,13 @@ class MultigridTrainer:
         return self.schedule.last_long
 
     def restore(self, path: str):
-        ck = load_checkpoint(path)
+        if os.path.isdir(path):  # orbax step directory tree -> latest step
+            from x3d_multigrid_tpu.train.orbax_ckpt import OrbaxCheckpointer
+            mgr = OrbaxCheckpointer(path)
+            ck = mgr.restore()
+            mgr.close()
+        else:
+            ck = load_checkpoint(path)
         self.params = jax.tree.map(jnp.asarray, ck["params"])
         self.bn_state = jax.tree.map(jnp.asarray, ck["bn_state"])
         if "momentum" in ck:
@@ -574,6 +600,8 @@ def main():
     ap.add_argument("--group-size", type=int, default=1,
                     help="scan this many same-bucket iterations per "
                          "dispatch (amortizes host dispatch latency)")
+    ap.add_argument("--ckpt-backend", default="npz",
+                    choices=["npz", "orbax"])
     ap.add_argument("--num-steps-per-update", type=int, default=1,
                     help="gradient-accumulation micro-steps per optimizer "
                          "update (reference num_steps_per_update)")
@@ -582,6 +610,7 @@ def main():
     kw = dict(version=args.version, max_epochs=args.max_epochs,
               dataset_size=args.dataset_size, out_dir=args.out_dir,
               compute_dtype=args.dtype, remat=args.remat,
+              ckpt_backend=args.ckpt_backend,
               num_steps_per_update=args.num_steps_per_update)
     if args.batch_size:
         kw["batch_size"] = args.batch_size
