@@ -139,11 +139,14 @@ class CharadesTrainer:
         """``batch``: uint8 ``clip`` (B,T,C0,C0,3), ``flip`` (B,),
         ``label`` (B,C) class / (B,TL,C) loc, optional ``mask`` (B,TL)."""
         self.rng, step_rng = jax.random.split(self.rng)
-        feed = {"clip": jnp.asarray(batch["clip"]),
-                "flip": jnp.asarray(batch["flip"]),
-                "label": jnp.asarray(batch["label"])}
-        if "mask" in batch:
-            feed["mask"] = jnp.asarray(batch["mask"])
+        keys = ("clip", "flip", "label") + (
+            ("mask",) if "mask" in batch else ())
+        if jax.process_count() > 1:  # pod fine-tunes (parallel/multihost.py)
+            from x3d_multigrid_tpu.parallel import global_batch_from_local
+            feed = global_batch_from_local(
+                self.mesh, {k: batch[k] for k in keys})
+        else:
+            feed = {k: jnp.asarray(batch[k]) for k in keys}
         self.params, self.momentum, self.bn_state, out = self.train_step(
             self.params, self.momentum, self.bn_state, feed,
             jnp.float32(self.lr_ctrl.lr), step_rng,
