@@ -150,3 +150,35 @@ class TestForward:
         norms = [float(jnp.linalg.norm(l)) for l in jax.tree.leaves(g)]
         assert all(np.isfinite(n) for n in norms)
         assert sum(n > 0 for n in norms) > len(norms) * 0.9
+
+
+class TestRematPolicies:
+    def test_convs_policy_matches_no_remat_grads(self):
+        """remat='convs' (save only checkpoint_name'd conv outputs) must
+        be a pure scheduling change: same loss, same gradients."""
+        import numpy as np
+        from x3d_multigrid_tpu.models import (
+            x3d_config, init_params, init_bn_state,
+        )
+        from x3d_multigrid_tpu.models.x3d import forward
+
+        kw = dict(n_classes=5, blocks_override=(1, 1, 1, 1),
+                  inplanes_override=((6, 4), (12, 8), (12, 8), (16, 8)),
+                  fc1_dim=16)
+        cfg0 = x3d_config("M", **kw)
+        cfg1 = x3d_config("M", remat="convs", **kw)
+        params = init_params(jax.random.PRNGKey(0), cfg0)
+        bn = init_bn_state(cfg0, num_splits=2)
+        x = jnp.asarray(np.random.RandomState(0).randn(
+            4, 2, 16, 16, 3).astype(np.float32))
+
+        def loss(p, cfg):
+            logits, _ = forward(p, bn, x, cfg=cfg, train=True,
+                                rng=jax.random.PRNGKey(1))
+            return jnp.sum(jnp.sin(logits))
+
+        l0, g0 = jax.value_and_grad(lambda p: loss(p, cfg0))(params)
+        l1, g1 = jax.value_and_grad(lambda p: loss(p, cfg1))(params)
+        np.testing.assert_allclose(l0, l1, rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)

@@ -96,6 +96,7 @@ VARIANTS = {
                 "temporal_depthwise_conv": _identity_tconv},
     "no_preprocess": {},  # handled via preprocess=None + float input
     "remat": {},          # cfg.remat = True
+    "remat_convs": {},    # cfg.remat = "convs" (save conv outs only)
 }
 
 
@@ -113,7 +114,8 @@ def time_variant(name, patches, *, per_chip, frames, crop, splits, steps,
         else:
             setattr(mx, k, v)
     mesh = data_mesh(1)
-    cfg = x3d_config("M", n_classes=400, remat=(name == "remat"))
+    remat = {"remat": True, "remat_convs": "convs"}.get(name, False)
+    cfg = x3d_config("M", n_classes=400, remat=remat)
     params = init_params(jax.random.PRNGKey(0), cfg)
     mom = init_momentum(params)
     bn = init_bn_state(cfg, splits)

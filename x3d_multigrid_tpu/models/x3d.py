@@ -70,10 +70,15 @@ class X3DConfig:
     widen_factor: float = 1.0
     task: str = "class"  # 'class' | 'loc'
     fc1_dim: int = 2048
-    # Rematerialize each bottleneck block in backward (jax.checkpoint):
-    # trades ~1/3 more FLOPs for O(stage) instead of O(depth) live
-    # activations — useful for the coarse multigrid buckets (B up to 2048).
-    remat: bool = False
+    # Rematerialize bottleneck blocks in backward (jax.checkpoint):
+    #   True/"full" — save nothing per block: O(stage) live activations
+    #     for the coarse 2048-clip buckets (more recompute traffic).
+    #   "convs" — selective: save only the three conv outputs
+    #     (checkpoint_name'd below) and recompute the BN/ReLU/SE/swish
+    #     elementwise chains in backward — a residual-TRAFFIC reduction
+    #     lever (docs/roofline.md: the step is bandwidth-bound on
+    #     materialized intermediates).
+    remat: object = False
     # Overrides for custom model sizes (None -> version tables).
     blocks_override: Optional[Tuple[int, ...]] = None
     inplanes_override: Optional[Tuple[Tuple[int, int], ...]] = None
@@ -273,12 +278,20 @@ def replace_logits(params: Params, key, n_classes: int) -> Params:
 # Forward
 # ---------------------------------------------------------------------------
 
+def _ckpt_name(x, name):
+    # no-op outside jax.checkpoint; under remat="convs" marks the conv
+    # outputs as the only saved residuals (everything elementwise between
+    # them is recomputed in backward)
+    from jax.ad_checkpoint import checkpoint_name
+    return checkpoint_name(x, name)
+
+
 def _bottleneck(blk_p, blk_s, x, *, has_se, train, momentum):
     """One inverted-bottleneck block (reference Bottleneck.forward,
     x3d.py:143-171)."""
     residual = x
 
-    out = pointwise_conv3d(x, blk_p["conv1"]["w"])
+    out = _ckpt_name(pointwise_conv3d(x, blk_p["conv1"]["w"]), "pw1")
     out, s1 = sub_batch_norm(out, blk_p["bn1"]["scale"], blk_p["bn1"]["bias"],
                              blk_s["bn1"], train=train, momentum=momentum)
     out = jax.nn.relu(out)
@@ -288,7 +301,9 @@ def _bottleneck(blk_p, blk_s, x, *, has_se, train, momentum):
     # stride is 2 exactly for the first block of each stage, which is also
     # the only block with a downsample branch in X3D (in_c != out_c happens
     # only there).
-    out = depthwise_conv3d(out, blk_p["conv2"]["w"], spatial_stride=stride)
+    out = _ckpt_name(
+        depthwise_conv3d(out, blk_p["conv2"]["w"], spatial_stride=stride),
+        "dw")
     out, s2 = sub_batch_norm(out, blk_p["bn2"]["scale"], blk_p["bn2"]["bias"],
                              blk_s["bn2"], train=train, momentum=momentum)
 
@@ -302,14 +317,15 @@ def _bottleneck(blk_p, blk_s, x, *, has_se, train, momentum):
 
     out = swish(out)
 
-    out = pointwise_conv3d(out, blk_p["conv3"]["w"])
+    out = _ckpt_name(pointwise_conv3d(out, blk_p["conv3"]["w"]), "pw3")
     out, s3 = sub_batch_norm(out, blk_p["bn3"]["scale"], blk_p["bn3"]["bias"],
                              blk_s["bn3"], train=train, momentum=momentum)
 
     new_s = {"bn1": s1, "bn2": s2, "bn3": s3}
     if "downsample" in blk_p:
-        residual = pointwise_conv3d(x, blk_p["downsample"]["conv"]["w"],
-                                    spatial_stride=stride)
+        residual = _ckpt_name(
+            pointwise_conv3d(x, blk_p["downsample"]["conv"]["w"],
+                             spatial_stride=stride), "ds")
         residual, sd = sub_batch_norm(
             residual, blk_p["downsample"]["bn"]["scale"],
             blk_p["downsample"]["bn"]["bias"], blk_s["downsample_bn"],
@@ -350,7 +366,11 @@ def forward(params: Params, state: BNState, x, *, cfg: X3DConfig,
             block = functools.partial(
                 _bottleneck, has_se=(i % 2 == 0), train=train,
                 momentum=momentum)
-            if cfg.remat:
+            if cfg.remat == "convs":
+                block = jax.checkpoint(
+                    block, policy=jax.checkpoint_policies.
+                    save_only_these_names("pw1", "dw", "pw3", "ds"))
+            elif cfg.remat:
                 block = jax.checkpoint(block)
             out, blk_s = block(blk_p, state[name][i], out)
             stage_states.append(blk_s)
