@@ -191,6 +191,12 @@ class MultigridTrainer:
         self.nspu = recipe.num_steps_per_update
         self._grad_sum = None
         self._accum_count = 0
+        if group_size > 1 and jax.process_count() > 1:
+            # the grouped scan stacks host batches on a leading group dim,
+            # which _stage's multi-host global assembly does not shard —
+            # grouped dispatch is a single-host latency optimization
+            raise ValueError("group_size > 1 is not supported in "
+                             "multi-process runs")
         if self.nspu > 1:
             if group_size > 1:
                 raise ValueError("group_size > 1 is incompatible with "
