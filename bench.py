@@ -15,10 +15,13 @@ to scan within ~10% on v5e because dispatches pipeline (the host enqueues
 step k+1 while k executes), so neither mode subtracts anything.  The
 trivial-dispatch round trip is printed for the record only.
 
-Besides training throughput, the default run also reports 3-view eval
-throughput, BN-folded serving latency (InferenceEngine), and the host
-input-pipeline section (real-JPEG decode rates + cores needed per chip
-to feed the device) — see ``detail.eval`` / ``detail.loader``.
+The headline JSON line prints IMMEDIATELY after the bucket loop so the
+driver always gets a parsed result even under a tight budget (round 2's
+rc=124 lesson).  Buckets are measured most-schedule-weight first under a
+wall-clock ``--budget``; unmeasured buckets are estimated from their long
+cycle's mean step time.  ``--with-eval`` / ``--with-loader`` append
+3-view eval throughput, BN-folded serving latency, and the host
+input-pipeline section after the JSON line (as ``#`` comment lines).
 
 Baseline: ~23 clips/s/GPU on Titan RTX (BASELINE.md, derived from the
 committed training log).  Prints one JSON line.
@@ -30,7 +33,23 @@ import json
 import statistics
 import time
 
+import os
+
 import jax
+
+# Persistent compilation cache: the 6 full-X3D-M bucket compiles cost
+# ~40 s-4 min EACH through the TPU tunnel; with the cache warm (previous
+# bench run or the same round's smoke run) they deserialize in seconds.
+try:
+    _cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+except Exception as e:  # cache is an optimization, never a requirement
+    print(f"# compilation cache unavailable: {e}", flush=True)
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -135,21 +154,41 @@ def main():
                          "loop within ~10%% on v5e)")
     ap.add_argument("--loop", dest="mode", action="store_const",
                     const="loop", help=argparse.SUPPRESS)
-    ap.add_argument("--skip-eval", action="store_true",
-                    help="skip the 3-view val / serving-latency section")
-    ap.add_argument("--skip-loader", action="store_true",
-                    help="skip the host input-pipeline section")
+    ap.add_argument("--with-eval", action="store_true",
+                    help="append the 3-view val / serving-latency section "
+                         "AFTER the headline JSON line")
+    ap.add_argument("--with-loader", action="store_true",
+                    help="append the host input-pipeline section AFTER "
+                         "the headline JSON line")
+    ap.add_argument("--budget", type=float,
+                    default=float(os.environ.get("BENCH_BUDGET_S", 2100)),
+                    help="wall-clock budget (s) for the bucket loop; "
+                         "remaining buckets are estimated, not measured")
+    ap.add_argument("--tiny", action="store_true",
+                    help="flow test: tiny model/geometry so the whole "
+                         "bench (budget logic, JSON emission) runs in ~1 "
+                         "min on CPU — the number is meaningless")
     args = ap.parse_args()
+    t_start = time.perf_counter()
 
     compute_dtype = jnp.bfloat16 if args.dtype == "bf16" else None
 
-    mcfg = MultigridConfig(
-        base_batch_size=128, total_iterations=120 * (220000 // 128),
-        sample_duration=80, crop_size=224, gamma_tau=10, base_bn_splits=4)
+    if args.tiny:
+        mcfg = MultigridConfig(
+            base_batch_size=16, total_iterations=64, sample_duration=16,
+            crop_size=32, gamma_tau=2, base_bn_splits=2)
+        weights = bucket_iteration_weights(mcfg, 1, 64)
+    else:
+        mcfg = MultigridConfig(
+            base_batch_size=128, total_iterations=120 * (220000 // 128),
+            sample_duration=80, crop_size=224, gamma_tau=10,
+            base_bn_splits=4)
+        weights = bucket_iteration_weights(mcfg, 120, 220000 // 128)
     buckets = enumerate_buckets(mcfg)
-    weights = bucket_iteration_weights(mcfg, 120, 220000 // 128)
 
-    if args.quick:
+    if args.tiny:
+        pass  # keep every tiny bucket
+    elif args.quick:
         buckets = sorted(buckets, key=lambda b: -weights[b.bucket_key])[:3]
     elif not args.full:
         # one bucket per (long-cycle, extreme-short) corner: covers every
@@ -160,9 +199,18 @@ def main():
                  (1024, 4, 111, 16), (1024, 4, 112, 8),
                  (256, 4, 224, 8), (128, 8, 224, 4)}
         buckets = [b for b in buckets if b.bucket_key in picks]
+    # Most-schedule-weight first: if the budget runs out, the buckets that
+    # dominate the weighted headline are the ones actually measured.
+    buckets = sorted(buckets, key=lambda b: -weights[b.bucket_key])
 
     mesh = data_mesh(1)  # single-chip benchmark; per-chip share of batch
-    cfg = x3d_config("M", n_classes=400)
+    if args.tiny:
+        cfg = x3d_config(
+            "M", n_classes=13, blocks_override=(1, 1, 1, 1),
+            inplanes_override=((12, 8), (16, 8), (24, 16), (32, 16)),
+            fc1_dim=32)
+    else:
+        cfg = x3d_config("M", n_classes=400)
     key = jax.random.PRNGKey(0)
     params = init_params(key, cfg)
     mom = init_momentum(params)
@@ -182,8 +230,20 @@ def main():
     all_buckets = enumerate_buckets(mcfg)
     measured = {}
     per_bucket = {}
+    skipped = []
     rng = np.random.RandomState(0)
     for b in buckets:
+        # Budget guard: a fresh bucket costs one compile (~40 s-4 min via
+        # the tunnel when the cache is cold) + ~3 s of timed steps.  Leave
+        # whatever we can't fit to the long-cycle estimator rather than
+        # risk the driver's rc=124 with no JSON line (round-2 failure).
+        elapsed = time.perf_counter() - t_start
+        if measured and elapsed > args.budget:
+            skipped.append(str(b.bucket_key))
+            print(f"# bucket {b.bucket_key}: SKIPPED (elapsed "
+                  f"{elapsed:.0f}s > budget {args.budget:.0f}s)",
+                  flush=True)
+            continue
         per_chip = b.batch_size // REFERENCE_GPUS
         bn_state = init_bn_state(cfg, num_splits=b.bn_splits)
         # adaptive decode (data/loader.py): the host ships crops already at
@@ -194,7 +254,8 @@ def main():
                 np.uint8)),
             "flip": jnp.asarray(rng.rand(per_chip) < 0.5),
             "label": jnp.asarray(
-                rng.randint(0, 400, (per_chip,)).astype(np.int32)),
+                rng.randint(0, cfg.n_classes, (per_chip,)
+                            ).astype(np.int32)),
         }
         prng = jax.random.PRNGKey(42)
         lr = jnp.float32(0.1)
@@ -203,6 +264,7 @@ def main():
         m2 = jax.tree.map(jnp.copy, mom)
         s2 = bn_state
 
+        t_compile = time.perf_counter()
         if args.mode == "loop":
             loop = make_train_loop(
                 cfg, mesh, num_steps=args.steps, loss="kinetics",
@@ -211,6 +273,8 @@ def main():
             p2, m2, s2, out = loop(p2, m2, s2, batch, lr, prng,
                                    out_size=b.crop)
             final = float(out.loss[-1])  # compile + warmup
+            print(f"# compile+warmup {b.bucket_key}: "
+                  f"{time.perf_counter() - t_compile:.1f}s", flush=True)
             per_step = 1e9
             for _ in range(2):
                 t0 = time.perf_counter()
@@ -261,28 +325,39 @@ def main():
               "dispatch_overhead_ms": round(overhead * 1e3, 1),
               "subbn_impl": str(subbn_mod.FUSED_TRAIN),
               "per_bucket": per_bucket}
+    if skipped:
+        detail["skipped_buckets"] = skipped
+    detail["bucket_wall_s"] = round(time.perf_counter() - t_start, 1)
 
-    if not args.skip_eval:
-        detail["eval"] = bench_eval(cfg, mesh, params, compute_dtype)
-        print(f"# eval: {detail['eval']}", flush=True)
-
-    if not args.skip_loader:
-        # host input pipeline: real JPEG decode throughput on this host +
-        # cores needed per chip to feed the device at the rates above
-        from tools.bench_loader import run_loader_bench
-        loader = run_loader_bench(iterations=8, videos=16,
-                                  device_per_bucket=per_bucket,
-                                  quiet=True)
-        detail["loader"] = loader
-        print(f"# loader: {loader}", flush=True)
-
+    # Headline FIRST — everything below is optional garnish that must
+    # never cost the driver its parsed result.
     print(json.dumps({
         "metric": "multigrid_train_clips_per_sec_per_chip",
         "value": round(weighted, 2),
         "unit": "clips/s/chip",
         "vs_baseline": round(weighted / BASELINE_CLIPS_PER_SEC_PER_GPU, 2),
         "detail": detail,
-    }))
+    }), flush=True)
+
+    if args.with_eval:
+        try:
+            print(f"# eval: "
+                  f"{bench_eval(cfg, mesh, params, compute_dtype)}",
+                  flush=True)
+        except Exception as e:
+            print(f"# eval section failed: {e!r}", flush=True)
+
+    if args.with_loader:
+        # host input pipeline: real JPEG decode throughput on this host +
+        # cores needed per chip to feed the device at the rates above
+        try:
+            from tools.bench_loader import run_loader_bench
+            loader = run_loader_bench(iterations=8, videos=16,
+                                      device_per_bucket=per_bucket,
+                                      quiet=True)
+            print(f"# loader: {loader}", flush=True)
+        except Exception as e:
+            print(f"# loader section failed: {e!r}", flush=True)
 
 
 if __name__ == "__main__":

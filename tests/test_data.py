@@ -143,6 +143,30 @@ class TestTrainLoader:
         b = next(iter(loader.epoch(1)))
         assert b["clip"].shape[2:] == (32, 32, 3)
 
+    def test_process_executor_bit_identical_to_threads(self, fake_kinetics):
+        """executor='process' (pod-scale decode fan-out over worker
+        processes) must yield byte-identical batches to the default
+        thread pool: same index stream, same per-clip seeds."""
+        root, anno, labels = fake_kinetics
+        samples = scan_kinetics(root, anno, labels, "train", min_frames=80)
+        cfg = MultigridConfig(
+            base_batch_size=2, total_iterations=64, sample_duration=80,
+            crop_size=32, gamma_tau=10, base_bn_splits=1)
+
+        def batches(executor):
+            loader = KineticsTrainLoader(
+                samples, MultigridSchedule(cfg), reader=PILReader(),
+                short_side=40, crop_size=32, scales=(0.875,), gamma_tau=10,
+                num_threads=2, seed=3, executor=executor)
+            out = list(loader.epoch(2))
+            loader.close()
+            return out
+
+        for bt, bp in zip(batches("thread"), batches("process")):
+            np.testing.assert_array_equal(bt["clip"], bp["clip"])
+            np.testing.assert_array_equal(bt["flip"], bp["flip"])
+            np.testing.assert_array_equal(bt["label"], bp["label"])
+
     def test_shuffled_stream_covers_dataset(self):
         s = ShuffledIndexStream(10, seed=0)
         first = s.take(10)

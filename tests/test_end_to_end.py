@@ -5,6 +5,7 @@ synthetic dataset.  The model must beat chance on validation within a few
 epochs — the closest CPU-runnable analog of the reference's only
 verification method (its committed training log, SURVEY §4)."""
 
+import json
 import os
 
 import numpy as np
@@ -21,7 +22,7 @@ TINY_MODEL = dict(
     fc1_dim=32)
 
 
-def _run_e2e(tmp_path, **recipe_kw):
+def _run_e2e(tmp_path, *, final_top1_floor, **recipe_kw):
     n_classes = 3
     root, anno, labels = make_fake_kinetics(
         str(tmp_path / "kin"), n_classes=n_classes, videos_per_class=4,
@@ -35,7 +36,7 @@ def _run_e2e(tmp_path, **recipe_kw):
         frames=16, crop_size_override=32, gamma_tau_override=2,
         short_side=40, base_bs_per_replica=1, const_bn_size=1,
         warmup_steps=0, init_lr=0.02,  # long-0 LR = 8x this; keep it tame
-        train_epochs_per_val=6, ckpt_every_steps=20,
+        train_epochs_per_val=3, ckpt_every_steps=20,
         out_dir=str(tmp_path / "out"),
         num_devices=8, compute_dtype="fp32",
         model_overrides=TINY_MODEL, val_crops=3)
@@ -50,9 +51,19 @@ def _run_e2e(tmp_path, **recipe_kw):
     # checkpoints were written
     ckpts = [f for f in os.listdir(recipe.out_dir) if f.startswith("ckpt")]
     assert ckpts
-    # learns the color-coded classes: well above the 1/3 chance level
-    assert trainer.last_val_top1 is not None
-    assert trainer.last_val_top1 >= 0.5, trainer.last_val_top1
+    # two vals ran (after epochs 3 and 6); read the trajectory back from
+    # the run's own JSONL record, the reference-log analog
+    with open(os.path.join(recipe.out_dir, "train_log.jsonl")) as f:
+        vals = [json.loads(l)["top1"] for l in f
+                if json.loads(l).get("event") == "val"]
+    assert len(vals) == 2, vals
+    assert trainer.last_val_top1 == vals[-1]
+    # learning trend: the final val must not regress below the mid-run
+    # val, and must clear a floor calibrated to what this setup actually
+    # reaches (not the 1/3 chance level, where plumbing bugs can hide)
+    assert vals[-1] >= vals[0] - 0.12, vals   # small re-eval jitter margin
+    assert vals[-1] >= final_top1_floor, vals
+    return vals
 
 
 @pytest.mark.slow
@@ -60,7 +71,7 @@ def test_run_end_to_end_learns(tmp_path):
     # high EMA rate so eval BN stats mature within the tiny schedule
     # (split stats reset at every long-cycle change; real schedules
     # have ~20k steps per cycle to refill them, this test has ~3)
-    _run_e2e(tmp_path, bn_momentum=0.5)
+    _run_e2e(tmp_path, bn_momentum=0.5, final_top1_floor=0.75)
 
 
 @pytest.mark.slow
@@ -72,4 +83,5 @@ def test_run_end_to_end_learns_default_momentum(tmp_path):
     the resize machinery is covered by the test above) and lets the default
     EMA rate accumulate over all 60 steps, as it would in a real cycle."""
     _run_e2e(tmp_path, long_cycle=(1, 1, 1, 1),
-             long_cycle_lr_scale=(1.0, 1.0, 1.0, 1.0), init_lr=0.05)
+             long_cycle_lr_scale=(1.0, 1.0, 1.0, 1.0), init_lr=0.05,
+             final_top1_floor=0.75)

@@ -77,6 +77,42 @@ def test_trainer_orbax_backend_roundtrip(tmp_path):
     assert fresh.lr_ctrl.state_dict() == trainer.lr_ctrl.state_dict()
 
 
+def test_charades_orbax_backend_roundtrip(tmp_path):
+    """CharadesTrainer(ckpt_backend='orbax'): save -> restore(dir) resumes
+    step/epoch/plateau-LR state (parity extra: the Kinetics recipe's
+    production backend now covers all three workloads)."""
+    from x3d_multigrid_tpu.train.recipes.charades import (
+        CharadesRecipe, CharadesTrainer, run_synthetic,
+    )
+
+    recipe = CharadesRecipe(
+        task="class", batch_size=8, frames=16, gamma_tau=2,
+        crop_size_override=32, short_side=40, n_classes=13,
+        compute_dtype=None, num_devices=8, ckpt_backend="orbax",
+        out_dir=str(tmp_path / "run"),
+        model_overrides=dict(
+            blocks_override=(1, 1, 1, 1),
+            inplanes_override=((6, 4), (12, 8), (12, 8), (16, 8)),
+            fc1_dim=16))
+    trainer = run_synthetic(recipe, iterations=2)
+    trainer.lr_ctrl.step(1.0)  # exercise plateau state
+    trainer.lr_ctrl.step(2.0)
+    path = trainer.save()
+    trainer._orbax.wait()
+    assert path.endswith("orbax_class")
+
+    fresh = CharadesTrainer(recipe, seed=5)
+    fresh.restore(path)
+    assert fresh.step_count == trainer.step_count
+    assert fresh.epochs == trainer.epochs
+    _assert_tree_equal(fresh.params, trainer.params)
+    _assert_tree_equal(fresh.bn_state, trainer.bn_state)
+    _assert_tree_equal(fresh.momentum, trainer.momentum)
+    assert fresh.lr_ctrl.lr == trainer.lr_ctrl.lr
+    assert fresh.lr_ctrl.state_dict()["num_bad"] == \
+        trainer.lr_ctrl.state_dict()["num_bad"]
+
+
 def test_save_restore_roundtrip(tmp_path):
     params, bn, mom = _trees()
     ckpt = OrbaxCheckpointer(str(tmp_path / "run"), async_save=True)

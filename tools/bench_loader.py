@@ -105,11 +105,57 @@ def _cores_needed(device_per_bucket: dict, core_rate: float) -> dict:
     return cores
 
 
+def _hosts_needed_v5e8(cores_per_chip: dict, host_cores: int) -> dict:
+    """Input-host budget for a v5e-8 slice (8 chips on one host).
+
+    For each bucket: decode cores for 8 chips / usable host cores, i.e.
+    how many loader HOSTS (multi-process DP, parallel/multihost.py) must
+    share the decode before one host process caps out.  >1.0 means the
+    single-host ThreadPoolExecutor cannot feed 8 chips even with perfect
+    core scaling, and multi-host input sharding (or the loader's
+    executor='process' mode across NUMA domains) is required.
+    """
+    import math
+    out = {}
+    for key_s, cores in cores_per_chip.items():
+        out[key_s] = round(8 * float(cores) / max(host_cores, 1), 2)
+    out_max = max(out.values()) if out else 0.0
+    return {"per_bucket": out, "max": out_max,
+            "hosts": max(1, math.ceil(out_max)),
+            "assumed_host_cores": host_cores}
+
+
+def _epoch_rate(samples, schedule_cfg, *, threads, executor, iterations,
+                batch_size):
+    """clips/s of one loader configuration over a schedule replay."""
+    reader = default_reader()
+    loader = KineticsTrainLoader(
+        samples, MultigridSchedule(schedule_cfg), reader=reader,
+        short_side=256, crop_size=224,
+        scales=train_scales(224, [256.0, 256.0]), gamma_tau=10,
+        num_threads=threads, executor=executor)
+    n_clips = 0
+    t0 = time.perf_counter()
+    for batch in loader.epoch(iterations):
+        n_clips += batch["clip"].shape[0]
+    rate = n_clips / (time.perf_counter() - t0)
+    loader.close()
+    return rate
+
+
 def run_loader_bench(*, iterations: int = 12, threads: int = 0,
                      videos: int = 24, batch_size: int = 128,
-                     device_per_bucket: dict = None, quiet: bool = False):
-    """Measure KineticsTrainLoader throughput; returns the result dict."""
+                     device_per_bucket: dict = None, quiet: bool = False,
+                     scaling: bool = False, host_cores_v5e8: int = None):
+    """Measure KineticsTrainLoader throughput; returns the result dict.
+
+    ``scaling=True`` additionally measures the thread-count curve and the
+    2-worker PROCESS-pool variant (loader executor='process') so the
+    thread-vs-process question is answered with numbers, not GIL folklore.
+    """
     threads = threads or max(os.cpu_count(), 1)
+    host_cores_v5e8 = host_cores_v5e8 or int(
+        os.environ.get("X3D_V5E8_HOST_CORES", 112))
 
     def say(msg):
         if not quiet:
@@ -171,10 +217,28 @@ def run_loader_bench(*, iterations: int = 12, threads: int = 0,
             "per_bucket": detail,
         },
     }
+    if scaling:
+        # thread-count curve + 2-worker process-pool variant (short
+        # replays; relative rates are what matter)
+        it = max(iterations // 2, 4)
+        curve = {}
+        for k in sorted({1, 2, threads}):
+            curve[f"threads_{k}"] = round(_epoch_rate(
+                samples, mcfg, threads=k, executor="thread",
+                iterations=it, batch_size=batch_size), 1)
+            say(f"# scaling threads={k}: {curve[f'threads_{k}']} clips/s")
+        curve["procs_2"] = round(_epoch_rate(
+            samples, mcfg, threads=2, executor="process",
+            iterations=it, batch_size=batch_size), 1)
+        say(f"# scaling procs=2: {curve['procs_2']} clips/s")
+        result["detail"]["scaling"] = curve
+
     if device_per_bucket:
         cores = _cores_needed(device_per_bucket, core_rate)
         result["detail"]["host_cores_needed_per_chip"] = cores
         result["detail"]["host_cores_needed_max"] = max(cores.values())
+        result["detail"]["hosts_needed_v5e8"] = _hosts_needed_v5e8(
+            cores, host_cores_v5e8)
     return result
 
 
@@ -190,6 +254,12 @@ def main():
     ap.add_argument("--device-rates", default=None,
                     help="BENCH json with detail.per_bucket clips/s/chip "
                          "to compute required host cores per chip")
+    ap.add_argument("--scaling", action="store_true",
+                    help="measure the thread-count curve and the "
+                         "2-process decode variant")
+    ap.add_argument("--host-cores-v5e8", type=int, default=None,
+                    help="usable cores on a v5e-8 input host (default "
+                         "112, or X3D_V5E8_HOST_CORES)")
     args = ap.parse_args()
 
     device_rates = None
@@ -200,7 +270,8 @@ def main():
     result = run_loader_bench(
         iterations=args.iterations, threads=args.threads,
         videos=args.videos, batch_size=args.batch_size,
-        device_per_bucket=device_rates)
+        device_per_bucket=device_rates, scaling=args.scaling,
+        host_cores_v5e8=args.host_cores_v5e8)
     print(json.dumps(result))
     return result
 

@@ -17,8 +17,8 @@ from typing import Sequence
 import numpy as np
 
 from x3d_multigrid_tpu.data.charades import (
-    CharadesVideo, frame_path, label_matrix, train_window, test_window,
-    test_class_views, pad_collate,
+    CharadesVideo, NUM_CLASSES, frame_path, label_matrix, train_window,
+    test_window, test_class_views, pad_collate,
 )
 from x3d_multigrid_tpu.data.loader import Prefetcher, ShuffledIndexStream
 
@@ -32,7 +32,8 @@ class CharadesTrainLoader:
                  reader, task: str, batch_size: int, frames: int,
                  gamma_tau: int, short_side: int, crop_size: int,
                  scales, num_threads: int = 8, prefetch: int = 2,
-                 seed: int = 0):
+                 seed: int = 0, process_index: int = 0,
+                 process_count: int = 1):
         self.videos = list(videos)
         self.root = root
         self.reader = reader
@@ -48,6 +49,13 @@ class CharadesTrainLoader:
         self.prefetch = prefetch
         self.seed = seed
         self._counter = 0
+        # Multi-host DP (parallel/multihost.py): identical index/seed
+        # stream on every host, each decodes only its contiguous slice.
+        if batch_size % process_count:
+            raise ValueError(f"batch {batch_size} not divisible by "
+                             f"{process_count} processes")
+        self.process_index = process_index
+        self.process_count = process_count
 
     def _load_clip(self, video: CharadesVideo, seed: int):
         rng = np.random.RandomState(seed)
@@ -64,6 +72,10 @@ class CharadesTrainLoader:
             idxs = self.stream.take(self.batch_size)
             seeds = [self.seed + self._counter + i for i in range(len(idxs))]
             self._counter += len(idxs)
+            if self.process_count > 1:
+                per = self.batch_size // self.process_count
+                lo = self.process_index * per
+                idxs, seeds = idxs[lo:lo + per], seeds[lo:lo + per]
             futs = [self.pool.submit(self._load_clip, self.videos[j], s)
                     for j, s in zip(idxs, seeds)]
             clips, flips, labels = zip(*(f.result() for f in futs))
@@ -99,7 +111,8 @@ class CharadesEvalLoader:
                  reader, task: str, batch_size: int, frames: int,
                  gamma_tau: int, short_side: int, crops: int = 10,
                  num_threads: int = 8, prefetch: int = 2,
-                 t_pad_multiple: int = 16, tl_pad_multiple: int = 128):
+                 t_pad_multiple: int = 16, tl_pad_multiple: int = 128,
+                 process_index: int = 0, process_count: int = 1):
         self.videos = list(videos)
         self.root = root
         self.reader = reader
@@ -113,6 +126,14 @@ class CharadesEvalLoader:
         self.prefetch = prefetch
         self.t_pad_multiple = t_pad_multiple
         self.tl_pad_multiple = tl_pad_multiple
+        # Multi-host: identical global chunking on every host, each host
+        # loads its process_index share; padded shapes are derived from the
+        # GLOBAL chunk's metadata so hosts agree without communicating.
+        if batch_size % process_count:
+            raise ValueError(f"eval batch {batch_size} not divisible by "
+                             f"{process_count} processes")
+        self.process_index = process_index
+        self.process_count = process_count
 
     def _load_video(self, video: CharadesVideo):
         indices, lab = test_window(video, self.gamma_tau)
@@ -125,32 +146,63 @@ class CharadesEvalLoader:
             return stacked, lab.max(axis=0)
         return clip, lab
 
+    def _chunk_pads(self, chunk):
+        """Padded (t, tl) for a GLOBAL chunk, from metadata only: every
+        host computes identical shapes without decoding the others' videos.
+        t_model per video = ceil(n_frames / gamma_tau) (test_window);
+        label length = n_frames (label_matrix)."""
+        t_max = max(-(-v.n_frames // self.gamma_tau) for v in chunk)
+        tl_max = max(v.n_frames for v in chunk)
+        return (_round_up(t_max, self.t_pad_multiple),
+                _round_up(tl_max, self.tl_pad_multiple))
+
     def _produce(self):
+        zero = None  # (clip_row, label_row) template for padded samples
         for start in range(0, len(self.videos), self.batch_size):
             chunk = self.videos[start:start + self.batch_size]
-            futs = [self.pool.submit(self._load_video, v) for v in chunk]
-            clips, labels = zip(*(f.result() for f in futs))
+            per = -(-len(chunk) // self.process_count)
+            local = chunk[self.process_index * per:
+                          (self.process_index + 1) * per]
+            futs = [self.pool.submit(self._load_video, v) for v in local]
+            loaded = [f.result() for f in futs]
+            n_pad = per - len(loaded)
             if self.task == "class":
-                yield {"clip": np.stack(clips),
-                       "label": np.stack(labels)}
+                if loaded:
+                    zero = (np.zeros_like(loaded[0][0]),
+                            np.zeros_like(loaded[0][1]))
+                elif zero is None:
+                    raise RuntimeError("empty first eval chunk; use "
+                                       "batch_size >= process_count")
+                clips = np.stack([c for c, _ in loaded]
+                                 + [zero[0]] * n_pad)
+                labels = np.stack([l for _, l in loaded]
+                                  + [zero[1]] * n_pad)
+                valid = np.asarray([True] * len(loaded) + [False] * n_pad)
+                yield {"clip": clips, "label": labels, "valid": valid}
             else:
-                batch = pad_collate(list(clips), list(labels))
-                # round pads up to shape-bucket multiples
-                t_pad = _round_up(batch["clip"].shape[1],
-                                  self.t_pad_multiple)
-                tl_pad = _round_up(batch["label"].shape[1],
-                                   self.tl_pad_multiple)
-                clip = np.zeros(
-                    (batch["clip"].shape[0], t_pad)
-                    + batch["clip"].shape[2:], batch["clip"].dtype)
-                clip[:, :batch["clip"].shape[1]] = batch["clip"]
-                label = np.zeros(
-                    (batch["label"].shape[0], tl_pad,
-                     batch["label"].shape[2]), np.float32)
-                label[:, :batch["label"].shape[1]] = batch["label"]
-                mask = np.zeros((batch["mask"].shape[0], tl_pad), np.float32)
-                mask[:, :batch["mask"].shape[1]] = batch["mask"]
-                yield {"clip": clip, "label": label, "mask": mask}
+                # pads derived from GLOBAL chunk metadata -> identical
+                # across hosts; zero rows (mask 0) fill the host share
+                t_pad, tl_pad = self._chunk_pads(chunk)
+                if loaded:
+                    clips, labels = zip(*loaded)
+                    batch = pad_collate(list(clips), list(labels))
+                    spatial = batch["clip"].shape[2:]
+                else:
+                    batch = {"clip": np.zeros((0, 1, 1, 1, 3), np.uint8),
+                             "label": np.zeros((0, 1, NUM_CLASSES),
+                                               np.float32),
+                             "mask": np.zeros((0, 1), np.float32)}
+                    spatial = (self.short_side, self.short_side, 3)
+                clip = np.zeros((per, t_pad) + spatial, np.uint8)
+                label = np.zeros((per, tl_pad, NUM_CLASSES), np.float32)
+                mask = np.zeros((per, tl_pad), np.float32)
+                nb = batch["clip"].shape[0]
+                clip[:nb, :batch["clip"].shape[1]] = batch["clip"]
+                label[:nb, :batch["label"].shape[1]] = batch["label"]
+                mask[:nb, :batch["mask"].shape[1]] = batch["mask"]
+                valid = np.asarray([True] * nb + [False] * (per - nb))
+                yield {"clip": clip, "label": label, "mask": mask,
+                       "valid": valid}
 
     def __iter__(self):
         return iter(Prefetcher(self._produce(), depth=self.prefetch))

@@ -13,7 +13,7 @@ the batch spec.
 
 import queue
 import threading
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from typing import Iterator, List, Optional, Sequence
 
 import numpy as np
@@ -25,6 +25,48 @@ from x3d_multigrid_tpu.data.temporal import (
 from x3d_multigrid_tpu.multigrid.schedule import (
     MultigridSchedule, IterationPlan,
 )
+
+# -- multi-process decode --------------------------------------------------
+# JPEG decode releases the GIL in both PIL and the native C++ reader, so
+# the default thread pool scales to physical cores.  When one process
+# still cannot feed its chips (pod-scale coarse buckets), the loaders can
+# run the same decode fan-out over worker PROCESSES: each worker holds its
+# own reader (created once by the pool initializer), tasks are picklable
+# (sample metadata + plan + seed), and results stream back as numpy
+# arrays.  Output is bit-identical to thread mode (same per-clip seeds).
+
+_PROC_READER = None
+
+
+def _proc_reader_init(kind: str = "default"):
+    """Build this worker process's reader — the SAME decoder family as
+    the parent's (JPEG decoders differ by a few LSBs in IDCT/scaling, so
+    mixing them would break thread-vs-process bit-exactness)."""
+    global _PROC_READER
+    if kind == "pil":
+        from x3d_multigrid_tpu.data.reader import PILReader
+        _PROC_READER = PILReader()
+    else:
+        from x3d_multigrid_tpu.data.reader import default_reader
+        _PROC_READER = default_reader()
+
+
+def _decode_train_clip(reader, sample: VideoSample, plan: IterationPlan,
+                       seed: int, *, sample_duration: int, gamma_tau: int,
+                       short: int, out: int, scales):
+    """Pure decode task shared by the thread and process pools."""
+    rng = np.random.RandomState(seed)
+    t_stride = sample_t_stride(sample_duration, plan.raw_frames, rng)
+    all_indices = list(range(1, sample.n_frames + 1))
+    idx = temporal_random_crop(all_indices, sample_duration, gamma_tau,
+                               t_stride, plan.raw_frames, rng)
+    paths = [frame_path(sample.video, i) for i in idx]
+    frames, params = reader.clip_train(paths, short, out, scales, rng)
+    return frames, params.flip, sample.label
+
+
+def _decode_train_clip_proc(sample, plan, seed, **kw):
+    return _decode_train_clip(_PROC_READER, sample, plan, seed, **kw)
 
 
 class ShuffledIndexStream:
@@ -102,7 +144,8 @@ class KineticsTrainLoader:
                  crop_size: int, scales, gamma_tau: int,
                  num_threads: int = 8, prefetch: int = 2, seed: int = 0,
                  adaptive_decode: bool = True, pipeline_batches: int = 2,
-                 process_index: int = 0, process_count: int = 1):
+                 process_index: int = 0, process_count: int = 1,
+                 executor: str = "thread"):
         self.samples = list(samples)
         self.schedule = schedule
         self.reader = reader
@@ -111,7 +154,21 @@ class KineticsTrainLoader:
         self.scales = scales
         self.gamma_tau = gamma_tau
         self.stream = ShuffledIndexStream(len(self.samples), seed)
-        self.pool = ThreadPoolExecutor(max_workers=num_threads)
+        if executor == "process":
+            # see _proc_reader_init: decode in worker processes when one
+            # process's thread pool can't feed the chips (GIL-free decode
+            # normally makes threads enough; this is the pod-scale escape
+            # hatch measured in tools/bench_loader.py)
+            kind = "pil" if type(reader).__name__ == "PILReader" \
+                else "default"
+            self.pool = ProcessPoolExecutor(
+                max_workers=num_threads, initializer=_proc_reader_init,
+                initargs=(kind,))
+        elif executor == "thread":
+            self.pool = ThreadPoolExecutor(max_workers=num_threads)
+        else:
+            raise ValueError(f"executor must be thread|process: {executor}")
+        self.executor = executor
         self.prefetch = prefetch
         self.seed = seed
         self.adaptive_decode = adaptive_decode
@@ -133,18 +190,12 @@ class KineticsTrainLoader:
 
     def _load_clip(self, sample: VideoSample, plan: IterationPlan,
                    seed: int):
-        rng = np.random.RandomState(seed)
-        t_stride = sample_t_stride(self.schedule.cfg.sample_duration,
-                                   plan.raw_frames, rng)
-        all_indices = list(range(1, sample.n_frames + 1))
-        idx = temporal_random_crop(
-            all_indices, self.schedule.cfg.sample_duration, self.gamma_tau,
-            t_stride, plan.raw_frames, rng)
-        paths = [frame_path(sample.video, i) for i in idx]
         short, out = self._geometry(plan)
-        frames, params = self.reader.clip_train(
-            paths, short, out, self.scales, rng)
-        return frames, params.flip, sample.label
+        return _decode_train_clip(
+            self.reader, sample, plan, seed,
+            sample_duration=self.schedule.cfg.sample_duration,
+            gamma_tau=self.gamma_tau, short=short, out=out,
+            scales=self.scales)
 
     def _submit(self, plan: IterationPlan):
         indices = self.stream.take(plan.batch_size)
@@ -159,9 +210,19 @@ class KineticsTrainLoader:
             per = plan.batch_size // self.process_count
             lo = self.process_index * per
             indices, seeds = indices[lo:lo + per], seeds[lo:lo + per]
-        futures = [
-            self.pool.submit(self._load_clip, self.samples[j], plan, s)
-            for j, s in zip(indices, seeds)]
+        if self.executor == "process":
+            short, out = self._geometry(plan)
+            futures = [
+                self.pool.submit(
+                    _decode_train_clip_proc, self.samples[j], plan, s,
+                    sample_duration=self.schedule.cfg.sample_duration,
+                    gamma_tau=self.gamma_tau, short=short, out=out,
+                    scales=self.scales)
+                for j, s in zip(indices, seeds)]
+        else:
+            futures = [
+                self.pool.submit(self._load_clip, self.samples[j], plan, s)
+                for j, s in zip(indices, seeds)]
         return plan, futures
 
     def _produce(self, num_iterations: int):
@@ -203,12 +264,21 @@ class KineticsTrainLoader:
 
 class KineticsEvalLoader:
     """Multi-view validation batches (kinetics.py:205-239): yields
-    ``clip`` (B, n_views, T, R, R, 3) uint8 center-crops + ``label`` (B,)."""
+    ``clip`` (B, n_views, T, R, R, 3) uint8 center-crops, ``label`` (B,)
+    and ``valid`` (B,) bool.
+
+    Multi-host DP: every host walks the identical global chunking of the
+    sample list and loads only its contiguous ``process_index`` share of
+    each chunk, so ``global_batch_from_local`` reassembles exactly the
+    single-host batch.  Ragged final chunks are zero-padded (``valid``
+    False) to keep per-host shares equal — metric code must mask, not
+    truncate."""
 
     def __init__(self, samples: Sequence[VideoSample], *, reader,
                  short_side: int, gamma_tau: int, frames: int,
                  crops: int = 3, batch_size: int = 16,
-                 num_threads: int = 8, prefetch: int = 2):
+                 num_threads: int = 8, prefetch: int = 2,
+                 process_index: int = 0, process_count: int = 1):
         self.samples = list(samples)
         self.reader = reader
         self.short_side = short_side
@@ -218,6 +288,11 @@ class KineticsEvalLoader:
         self.batch_size = batch_size
         self.pool = ThreadPoolExecutor(max_workers=num_threads)
         self.prefetch = prefetch
+        if batch_size % process_count:
+            raise ValueError(f"eval batch {batch_size} not divisible by "
+                             f"{process_count} processes")
+        self.process_index = process_index
+        self.process_count = process_count
 
     def _load_views(self, sample: VideoSample):
         views = eval_temporal_views(sample.n_frames, self.gamma_tau,
@@ -231,12 +306,28 @@ class KineticsEvalLoader:
         return clips, sample.label
 
     def _produce(self):
+        zero_clip = None
         for start in range(0, len(self.samples), self.batch_size):
             chunk = self.samples[start:start + self.batch_size]
-            futures = [self.pool.submit(self._load_views, s) for s in chunk]
-            clips, labels = zip(*(f.result() for f in futures))
-            yield {"clip": np.stack(clips),
-                   "label": np.asarray(labels, np.int32)}
+            # equal per-host share; the final ragged chunk zero-pads
+            per = -(-len(chunk) // self.process_count)
+            local = chunk[self.process_index * per:
+                          (self.process_index + 1) * per]
+            futures = [self.pool.submit(self._load_views, s) for s in local]
+            loaded = [f.result() for f in futures]
+            if loaded:
+                zero_clip = np.zeros_like(loaded[0][0])
+            elif zero_clip is None:
+                raise RuntimeError(
+                    "empty first eval chunk on this host; use a batch_size "
+                    ">= process_count")
+            n_pad = per - len(loaded)
+            clips = np.stack([c for c, _ in loaded]
+                             + [zero_clip] * n_pad)
+            labels = np.asarray([l for _, l in loaded]
+                                + [-1] * n_pad, np.int32)
+            valid = np.asarray([True] * len(loaded) + [False] * n_pad)
+            yield {"clip": clips, "label": labels, "valid": valid}
 
     def __iter__(self):
         return iter(Prefetcher(self._produce(), depth=self.prefetch))

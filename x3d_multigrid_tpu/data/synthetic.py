@@ -11,6 +11,7 @@ def make_fake_kinetics(root: str, *, n_classes: int = 4,
                        videos_per_class: int = 2, n_frames: int = 90,
                        frame_size=(64, 48), seed: int = 0,
                        val_videos_per_class: int = 0,
+                       test_videos: int = 0,
                        class_coded: bool = False):
     """Write a miniature Kinetics-layout dataset: frame JPEGs, annotation
     JSON and labels.txt.  Returns (root, anno_path, labels_path).
@@ -55,6 +56,12 @@ def make_fake_kinetics(root: str, *, n_classes: int = 4,
                 "subset": "validate",
                 "annotations": {"segment": [0, 10], "label": label},
             }
+    # unlabeled test split: test/<vid> dirs, subset 'testing' annotations
+    # without a label (reference scan kinetics.py:110-118)
+    for v in range(test_videos):
+        vid = f"test{v}"
+        write_video(os.path.join(root, "test", vid), v % n_classes)
+        anno[vid] = {"subset": "testing", "annotations": {}}
     anno_path = os.path.join(root, "anno.json")
     labels_path = os.path.join(root, "labels.txt")
     with open(anno_path, "w") as f:

@@ -79,6 +79,6 @@ def eval_preprocess_impl(frames_u8, mean, std, *, out_size: int,
 
 
 train_preprocess = jax.jit(train_preprocess_impl,
-                           static_argnames=("out_size",))
+                           static_argnames=("out_size", "dtype"))
 eval_preprocess = jax.jit(eval_preprocess_impl,
-                          static_argnames=("out_size",))
+                          static_argnames=("out_size", "dtype"))

@@ -47,11 +47,12 @@ MOMENTUM = 0.1
 #              the textbook 2-pass BN gradient (two reductions over (g, x),
 #              then dx = A*g + B*x + C per (split, channel)) instead of
 #              autodiff's mean/mean2 transpose graph, and the forward
-#              normalize+affine folded into one FMA (y = a*x + b).  Default.
+#              normalize+affine folded into one FMA (y = a*x + b).
+#              Measured a tie with "lanes" on v5e.
 #   "lanes"  — dense-lane XLA expression, autodiff backward: collapse
 #              (W, C) into the minor dim so thin X3D channels (C=24..216)
 #              stop wasting 128-lane vector slots.  X3D-M stage shapes give
-#              W*C == 2688 = 21*128 exactly at crop 224.
+#              W*C == 2688 = 21*128 exactly at crop 224.  Default.
 #   False    — the naive channels-minor XLA expression (C on lanes; at
 #              C=24 only 24/128 lanes carry data, ~170 GB/s effective).
 #   True     — fused Pallas kernel (ops/pallas/subbn_fused.py); measured
@@ -62,8 +63,8 @@ FUSED_TRAIN = "lanes"
 
 
 def set_fused_train(mode) -> None:
-    """Select the SubBN training implementation: 'lanes' / True / False /
-    'auto' (see FUSED_TRAIN)."""
+    """Select the SubBN training implementation: 'lanes' (default) /
+    'cvjp' / True / False / 'auto' (see FUSED_TRAIN)."""
     global FUSED_TRAIN
     FUSED_TRAIN = mode
 

@@ -1,7 +1,7 @@
 from x3d_multigrid_tpu.parallel.mesh import data_mesh
 from x3d_multigrid_tpu.parallel.multihost import (
     initialize as multihost_initialize, host_shard, global_batch_from_local,
-    process_info,
+    process_info, local_rows, all_hosts_sum,
 )
 from x3d_multigrid_tpu.parallel.train_step import (
     make_train_step, make_train_loop, make_grad_accum_step,
@@ -15,6 +15,8 @@ __all__ = [
     "host_shard",
     "global_batch_from_local",
     "process_info",
+    "local_rows",
+    "all_hosts_sum",
     "make_train_step",
     "make_train_loop",
     "make_grad_accum_step",

@@ -19,6 +19,7 @@ Single-process use is the no-op identity of all three, so recipes can
 call these helpers unconditionally.
 """
 
+import os
 from typing import Any, Dict, Optional
 
 import jax
@@ -27,18 +28,35 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from x3d_multigrid_tpu.parallel.mesh import DATA_AXIS
 
+# Environment markers of a multi-process cluster that
+# jax.distributed.initialize() knows how to auto-detect (TPU pods, Slurm,
+# GKE/JobSet, or an explicit coordinator).  When none of these is present
+# the run is provably single-process and no coordinator is needed.
+_CLUSTER_ENV_VARS = (
+    "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+    "TPU_WORKER_HOSTNAMES", "TPU_WORKER_ID", "CLOUD_TPU_TASK_ID",
+    "MEGASCALE_COORDINATOR_ADDRESS",
+    "SLURM_JOB_ID", "JOBSET_NAME",
+)
+
 
 def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None) -> None:
     """Bootstrap the JAX process group (no-op when single-process).
 
-    On TPU pods the three arguments are auto-detected from the
-    environment; pass them explicitly only for CPU/GPU clusters.  Safe to
+    With no arguments, the cluster layout is auto-detected from the
+    environment (TPU pod metadata, Slurm, GKE) — this is what starts the
+    coordination service that orbax multi-host async saves and barriers
+    depend on, so pods MUST reach ``jax.distributed.initialize``.  Only a
+    run with none of the known cluster markers short-circuits.  Safe to
     call twice (the second call is ignored).
     """
-    if num_processes is None and coordinator_address is None:
-        # Single-host runs (and tests) never need a coordinator.
+    explicit = (coordinator_address is not None
+                or num_processes is not None)
+    if not explicit and not any(v in os.environ
+                                for v in _CLUSTER_ENV_VARS):
+        # Provably single-process: no coordinator env anywhere.
         return
     try:
         jax.distributed.initialize(
@@ -46,6 +64,12 @@ def initialize(coordinator_address: Optional[str] = None,
             num_processes=num_processes, process_id=process_id)
     except RuntimeError:  # already initialized
         pass
+    except ValueError:
+        # A cluster marker was present but JAX's auto-detection found no
+        # coordinator (e.g. a single-host TPU behind a tunnel exporting
+        # pod-style env vars).  Explicit arguments must still fail loudly.
+        if explicit:
+            raise
 
 
 def process_info() -> Dict[str, int]:
@@ -96,3 +120,33 @@ def global_batch_from_local(mesh: Mesh, local_batch: Dict[str, Any]):
         return jax.make_array_from_process_local_data(sharding, x)
 
     return jax.tree.map(put, local_batch)
+
+
+def local_rows(arr) -> np.ndarray:
+    """This host's contiguous rows of a batch-sharded global array.
+
+    The inverse of :func:`global_batch_from_local` for step *outputs*
+    (e.g. eval logits sharded ``P(DATA_AXIS)``): each host's addressable
+    shards hold exactly the rows that came from its own local batch, so
+    metrics can be computed host-locally and then summed across processes.
+    Single-process this is the whole array.
+    """
+    shards = sorted(arr.addressable_shards,
+                    key=lambda s: s.index[0].start or 0)
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+
+def all_hosts_sum(*values: float):
+    """Sum scalars across processes (identity when single-process).
+
+    Rides the same mesh collectives as training — a tiny jitted psum over
+    one device per host would also work, but ``process_allgather`` keeps
+    this off the compile path.
+    """
+    if jax.process_count() == 1:
+        return values if len(values) > 1 else values[0]
+    from jax.experimental import multihost_utils
+    gathered = multihost_utils.process_allgather(
+        np.asarray(values, np.float64))
+    total = np.sum(gathered, axis=0)
+    return tuple(total.tolist()) if len(values) > 1 else float(total[0])

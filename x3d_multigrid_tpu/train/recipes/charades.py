@@ -60,6 +60,7 @@ class CharadesRecipe:
     ckpt_every_steps: int = 1000
     train_epochs_per_val: int = 2
     out_dir: str = "runs/charades"
+    ckpt_backend: str = "npz"            # "npz" | "orbax" (async, retained)
     num_devices: Optional[int] = None
     compute_dtype: Optional[str] = "bf16"
     short_side: int = 256
@@ -155,28 +156,68 @@ class CharadesTrainer:
         return {"loss": out.loss}
 
     # -- evaluation ---------------------------------------------------------
+    def _eval_logits(self, flat) -> np.ndarray:
+        """Run the sharded eval step on row-flattened uint8 clips and
+        return this host's rows.  Multi-process: the host-local rows are
+        assembled into one globally-sharded array
+        (parallel/multihost.py), and each host reads back exactly the
+        logits of its own inputs."""
+        from x3d_multigrid_tpu.parallel.mesh import pad_to_multiple
+        agg = aggregate_all_subbn(self.bn_state)
+        if jax.process_count() > 1:
+            from x3d_multigrid_tpu.parallel import (
+                global_batch_from_local, local_rows)
+            feed = global_batch_from_local(
+                self.mesh, {"clip": flat})["clip"]
+            logits = self.eval_step(self.params, agg, feed,
+                                    out_size=self.recipe.crop_size)
+            return local_rows(logits)
+        flat, n_real = pad_to_multiple(flat, self.mesh.devices.size)
+        logits = self.eval_step(self.params, agg, jnp.asarray(flat),
+                                out_size=self.recipe.crop_size)
+        return np.asarray(logits[:n_real])
+
+    @staticmethod
+    def _gather_rows(*arrays):
+        """Concatenate per-host eval rows across processes so the APMeter
+        sees the global score set (identity when single-process)."""
+        if jax.process_count() == 1:
+            return arrays
+        from jax.experimental import multihost_utils
+        out = []
+        for a in arrays:
+            g = multihost_utils.process_allgather(np.asarray(a))
+            out.append(g.reshape((-1,) + g.shape[2:]))
+        return tuple(out)
+
     def eval_class_epoch(self, loader) -> dict:
         """10-view max-reduced mAP + val loss
-        (train_x3d_charades.py:158-174,208-213)."""
+        (train_x3d_charades.py:158-174,208-213).  Loader batches may carry
+        a ``valid`` mask (zero-padded rows from multi-host sharding or
+        ragged final chunks) — masked rows are excluded from both loss
+        and AP."""
         from x3d_multigrid_tpu.parallel.train_step import bce_with_logits
-        from x3d_multigrid_tpu.parallel.mesh import pad_to_multiple
-        ndev = self.mesh.devices.size
-        agg = aggregate_all_subbn(self.bn_state)
+        from x3d_multigrid_tpu.parallel import all_hosts_sum
         apm = APMeter()
-        tot_loss, n_batches = 0.0, 0
+        loss_sum, loss_n = 0.0, 0
         for batch in loader:
             clips = batch["clip"]  # (B, n, T, R, R, 3) uint8
             b, n = clips.shape[:2]
             flat = clips.reshape((b * n,) + clips.shape[2:])
-            flat, n_real = pad_to_multiple(flat, ndev)
-            logits = self.eval_step(self.params, agg, jnp.asarray(flat),
-                                    out_size=self.recipe.crop_size)
-            probs, max_logits = multiview_max_probs(logits[:n_real], n)
-            labels = jnp.asarray(batch["label"])
-            tot_loss += float(bce_with_logits(max_logits, labels))
-            n_batches += 1
-            apm.add(np.asarray(probs), np.asarray(batch["label"]))
-        val_loss = tot_loss / max(n_batches, 1)
+            logits = self._eval_logits(flat)
+            probs, max_logits = multiview_max_probs(logits, n)
+            valid = np.asarray(batch.get("valid", np.ones(b, bool)))
+            if not valid.any():
+                continue
+            labels = np.asarray(batch["label"])[valid]
+            loss_sum += float(bce_with_logits(
+                jnp.asarray(np.asarray(max_logits)[valid]),
+                jnp.asarray(labels))) * int(valid.sum())
+            loss_n += int(valid.sum())
+            p, l = self._gather_rows(np.asarray(probs)[valid], labels)
+            apm.add(p, l)
+        loss_sum, loss_n = all_hosts_sum(loss_sum, loss_n)
+        val_loss = loss_sum / max(loss_n, 1)
         m = apm.mean()
         lr = self.lr_ctrl.step(val_loss)
         self.last_val = {"map": m, "loss": val_loss}
@@ -188,31 +229,34 @@ class CharadesTrainer:
         """Per-frame masked AP on interpolated logits
         (train_x3d_charades_loc.py:168-186)."""
         from x3d_multigrid_tpu.parallel.train_step import _charades_loc_loss
-        from x3d_multigrid_tpu.parallel.mesh import pad_to_multiple
-        ndev = self.mesh.devices.size
-        agg = aggregate_all_subbn(self.bn_state)
+        from x3d_multigrid_tpu.parallel import all_hosts_sum
         apm = APMeter()
-        tot_loss, n_batches = 0.0, 0
+        loss_sum, loss_n = 0.0, 0
         for batch in loader:
             clips = batch["clip"]  # (B, T, R, R, 3) uint8, padded
-            clips, n_real = pad_to_multiple(clips, ndev)
-            logits = self.eval_step(self.params, agg, jnp.asarray(clips),
-                                    out_size=self.recipe.crop_size)
-            logits = logits[:n_real]
+            b = clips.shape[0]
+            valid = np.asarray(batch.get("valid", np.ones(b, bool)))
+            logits = self._eval_logits(clips)
             labels = batch["label"]     # (B, TL, C)
             mask = batch["mask"]        # (B, TL)
+            if not valid.any():
+                continue
             loss, _ = _charades_loc_loss(
-                jnp.asarray(logits),
-                {"label": jnp.asarray(labels), "mask": jnp.asarray(mask)})
-            tot_loss += float(loss)
-            n_batches += 1
+                jnp.asarray(logits[valid]),
+                {"label": jnp.asarray(labels[valid]),
+                 "mask": jnp.asarray(mask[valid])})
+            loss_sum += float(loss) * int(valid.sum())
+            loss_n += int(valid.sum())
             up = np.asarray(linear_interp_time(jnp.asarray(logits),
                                                labels.shape[1]))
             probs = 1.0 / (1.0 + np.exp(-up)) * mask[..., None]
+            probs, labels, mask = self._gather_rows(
+                probs[valid], labels[valid], mask[valid])
             for i in range(labels.shape[0]):
                 t_valid = int(mask[i].sum())
                 apm.add(probs[i, :t_valid], labels[i, :t_valid])
-        val_loss = tot_loss / max(n_batches, 1)
+        loss_sum, loss_n = all_hosts_sum(loss_sum, loss_n)
+        val_loss = loss_sum / max(loss_n, 1)
         m = apm.mean()
         lr = self.lr_ctrl.step(val_loss)
         self.last_val = {"map": m, "loss": val_loss}
@@ -221,7 +265,13 @@ class CharadesTrainer:
         return self.last_val
 
     def restore(self, path: str):
-        ck = load_checkpoint(path)
+        if os.path.isdir(path):  # orbax step directory tree -> latest step
+            from x3d_multigrid_tpu.train.orbax_ckpt import OrbaxCheckpointer
+            mgr = OrbaxCheckpointer(path)
+            ck = mgr.restore()
+            mgr.close()
+        else:
+            ck = load_checkpoint(path)
         self.params = jax.tree.map(jnp.asarray, ck["params"])
         self.bn_state = jax.tree.map(jnp.asarray, ck["bn_state"])
         if "momentum" in ck:
@@ -236,17 +286,36 @@ class CharadesTrainer:
                 "num_bad": st.get("num_bad", 0)})
         self.logger.log("restore", path=path, step=self.step_count)
 
+    def _ckpt_meta(self) -> dict:
+        return {"step": self.step_count, "epochs": self.epochs,
+                **{f"lr_{k}": v for k, v in
+                   self.lr_ctrl.state_dict().items() if v is not None}}
+
     def save(self, path: Optional[str] = None):
-        path = path or os.path.join(
-            self.recipe.out_dir,
-            f"ckpt_{self.recipe.task}_{self.step_count:06d}")
-        save_checkpoint(path, params=self.params, bn_state=self.bn_state,
-                        momentum=self.momentum,
-                        meta={"step": self.step_count,
-                              "epochs": self.epochs,
-                              **{f"lr_{k}": v for k, v in
-                                 self.lr_ctrl.state_dict().items()
-                                 if v is not None}})
+        if self.recipe.ckpt_backend == "orbax":
+            # async production backend, same layout as the Kinetics recipe
+            # (train/orbax_ckpt.py): retention + atomic commit off-thread
+            if getattr(self, "_orbax", None) is None:
+                from x3d_multigrid_tpu.train.orbax_ckpt import (
+                    OrbaxCheckpointer)
+                self._orbax = OrbaxCheckpointer(
+                    os.path.join(self.recipe.out_dir,
+                                 f"orbax_{self.recipe.task}"))
+            self._orbax.save(self.step_count, params=self.params,
+                             bn_state=self.bn_state,
+                             momentum=self.momentum, meta=self._ckpt_meta())
+            path = os.path.join(self.recipe.out_dir,
+                                f"orbax_{self.recipe.task}")
+        else:
+            path = path or os.path.join(
+                self.recipe.out_dir,
+                f"ckpt_{self.recipe.task}_{self.step_count:06d}")
+            # npz is single-writer: only process 0 writes on pods
+            if jax.process_index() == 0:
+                save_checkpoint(path, params=self.params,
+                                bn_state=self.bn_state,
+                                momentum=self.momentum,
+                                meta=self._ckpt_meta())
         self.logger.log("checkpoint", path=path, step=self.step_count)
         return path
 
@@ -299,16 +368,20 @@ def run(recipe: CharadesRecipe, *, root: str, anno: str,
                                  min_frames=min_frames)
     test_videos = scan_charades(anno, "testing", root,
                                 min_frames=min_frames)
+    # each host decodes only its process_index slice (parallel/multihost.py)
+    pidx, pcount = jax.process_index(), jax.process_count()
     loader = CharadesTrainLoader(
         train_videos, root, reader=reader, task=recipe.task,
         batch_size=recipe.batch_size, frames=2 * recipe.frames,
         gamma_tau=2 * recipe.gamma_tau, short_side=recipe.short_side,
-        crop_size=recipe.crop_size, scales=scales)
+        crop_size=recipe.crop_size, scales=scales,
+        process_index=pidx, process_count=pcount)
     val_loader = CharadesEvalLoader(
         test_videos, root, reader=reader, task=recipe.task,
-        batch_size=max(recipe.batch_size // 2, 1),
+        batch_size=max(recipe.batch_size // 2, pcount),
         frames=2 * recipe.frames, gamma_tau=2 * recipe.gamma_tau,
-        short_side=recipe.short_side, crops=recipe.val_crops)
+        short_side=recipe.short_side, crops=recipe.val_crops,
+        process_index=pidx, process_count=pcount)
 
     ipe = max(len(train_videos) // recipe.batch_size, 1)
     while trainer.epochs < recipe.max_epochs:
@@ -345,11 +418,15 @@ def main():
     ap.add_argument("--batch-size", type=int, default=None)
     ap.add_argument("--out-dir", default="runs/charades")
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
+    ap.add_argument("--ckpt-backend", default="npz",
+                    choices=["npz", "orbax"])
+    ap.add_argument("--resume",
+                    help=".npz checkpoint or orbax directory")
     ap.add_argument("--tiny", action="store_true")
     args = ap.parse_args()
 
     kw = dict(task=args.task, out_dir=args.out_dir,
-              compute_dtype=args.dtype)
+              compute_dtype=args.dtype, ckpt_backend=args.ckpt_backend)
     if args.batch_size:
         kw["batch_size"] = args.batch_size
     if args.tiny:
@@ -368,7 +445,7 @@ def main():
         if not (args.root and args.anno):
             ap.error("need --root and --anno (or --synthetic)")
         run(recipe, root=args.root, anno=args.anno,
-            pretrained=args.pretrained)
+            pretrained=args.pretrained, resume=args.resume)
 
 
 if __name__ == "__main__":

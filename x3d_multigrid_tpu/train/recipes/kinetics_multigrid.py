@@ -375,19 +375,22 @@ class MultigridTrainer:
 
     def precompile(self):
         """Compile every bucket's step up-front on throwaway cloned state
-        (the live trees must not be donated here)."""
+        (the live trees must not be donated here).  Batches go through
+        ``_stage`` so multi-process runs compile against the same
+        globally-sharded layout training will use."""
         t0 = time.time()
         c0 = self.recipe.crop_size
+        pcount = jax.process_count()
         for b in enumerate_buckets(self.mcfg):
             params_c = jax.tree.map(jnp.copy, self.params)
             mom_c = jax.tree.map(jnp.copy, self.momentum)
             bn_c = init_bn_state(self.cfg, b.bn_splits)
-            batch = {
-                "clip": jnp.zeros((b.batch_size, b.frames, c0, c0, 3),
-                                  jnp.uint8),
-                "flip": jnp.zeros((b.batch_size,), bool),
-                "label": jnp.zeros((b.batch_size,), jnp.int32),
-            }
+            local = b.batch_size // pcount  # host-local share
+            batch = self._stage({
+                "clip": np.zeros((local, b.frames, c0, c0, 3), np.uint8),
+                "flip": np.zeros((local,), bool),
+                "label": np.zeros((local,), np.int32),
+            })
             _, _, _, out = self.train_step(
                 params_c, mom_c, bn_c, batch, jnp.float32(0.0),
                 jax.random.PRNGKey(0), out_size=b.crop)
@@ -397,22 +400,41 @@ class MultigridTrainer:
 
     def eval_epoch(self, loader) -> float:
         """3-view Top-1 over a validation loader (SubBN stats aggregated
-        first, as the reference does before every val pass)."""
+        first, as the reference does before every val pass).
+
+        Multi-process: each host's loader supplies its slice of every
+        global batch (``valid`` masks zero-padding), logits come back
+        batch-sharded, and each host scores its own rows before a final
+        cross-host sum (parallel/multihost.py)."""
         from x3d_multigrid_tpu.parallel.mesh import pad_to_multiple
+        from x3d_multigrid_tpu.parallel import local_rows, all_hosts_sum
         agg_state = aggregate_all_subbn(self.bn_state)
         correct = total = 0
         for batch in loader:
             clips = batch["clip"]           # (B, n, T, R, R, 3) uint8
             b, n = clips.shape[:2]
             flat = clips.reshape((b * n,) + clips.shape[2:])
-            # ragged final batches must stay shardable over the mesh
-            flat, n_real = pad_to_multiple(flat, self.ndev)
-            logits = self.eval_step(self.params, agg_state,
-                                    jnp.asarray(flat),
-                                    out_size=self.recipe.crop_size)
-            _, preds, _ = multiview_softmax_top1(logits[:n_real], n)
-            correct += int(np.sum(np.asarray(preds) == batch["label"]))
-            total += b
+            if jax.process_count() > 1:
+                from x3d_multigrid_tpu.parallel import (
+                    global_batch_from_local)
+                feed = global_batch_from_local(
+                    self.mesh, {"clip": flat})["clip"]
+                logits = self.eval_step(self.params, agg_state, feed,
+                                        out_size=self.recipe.crop_size)
+                logits = local_rows(logits)   # this host's b*n rows
+            else:
+                # ragged final batches must stay shardable over the mesh
+                flat, n_real = pad_to_multiple(flat, self.ndev)
+                logits = self.eval_step(self.params, agg_state,
+                                        jnp.asarray(flat),
+                                        out_size=self.recipe.crop_size)
+                logits = logits[:n_real]
+            _, preds, _ = multiview_softmax_top1(logits, n)
+            valid = np.asarray(batch.get("valid", np.ones(b, bool)))
+            hits = (np.asarray(preds) == np.asarray(batch["label"]))
+            correct += int(np.sum(hits & valid))
+            total += int(np.sum(valid))
+        correct, total = all_hosts_sum(correct, total)
         acc = correct / max(total, 1)
         self.last_val_top1 = acc
         self.logger.log("val", epoch=self.epochs, top1=acc, samples=total)
@@ -447,9 +469,12 @@ class MultigridTrainer:
         else:
             path = path or os.path.join(
                 self.recipe.out_dir, f"ckpt_{self.step_count:06d}")
-            save_checkpoint(
-                path, params=self.params, bn_state=self.bn_state,
-                momentum=self.momentum, meta=self._ckpt_meta())
+            # npz is a single-writer format: on pods only process 0 writes
+            # (orbax coordinates multi-host saves itself)
+            if jax.process_index() == 0:
+                save_checkpoint(
+                    path, params=self.params, bn_state=self.bn_state,
+                    momentum=self.momentum, meta=self._ckpt_meta())
         self.logger.log("checkpoint", path=path, step=self.step_count)
         return path
 
@@ -485,24 +510,50 @@ class MultigridTrainer:
 
 
 def run_synthetic(recipe: KineticsRecipe, *, iterations: int = 12,
-                  logger: Optional[MetricLogger] = None):
+                  logger: Optional[MetricLogger] = None,
+                  group_size: int = 1, adaptive_crops: bool = True):
     """Dataset-free smoke run: drives the full multigrid machinery (bucket
-    transitions, BN resize, LR events) on random data."""
+    transitions, BN resize, LR events) on random data.
+
+    ``adaptive_crops`` mirrors the real loader's adaptive decode: batches
+    arrive already at the bucket's short-cycle crop (the device resize is
+    a no-op), so host gen + H2D cost scales with the bucket like
+    production.  ``group_size>1`` uses the grouped lax.scan dispatch.
+    This is also the real-TPU training-record path (--synthetic with a
+    shrunken --dataset-size so long-cycle transitions land inside the
+    run, mirroring the reference log's transition table,
+    log_x3d_kinetics_multigrid.txt:15-234)."""
     from x3d_multigrid_tpu.data.synthetic import synthetic_train_batch
 
-    trainer = MultigridTrainer(recipe, logger=logger)
+    trainer = MultigridTrainer(recipe, logger=logger,
+                               group_size=group_size)
     n = 0
     while n < iterations:
         for plan in trainer.schedule.epoch(iterations - n):
+            crop = plan.crop if adaptive_crops else recipe.crop_size
             batch = synthetic_train_batch(
-                plan.batch_size, plan.frames, recipe.crop_size,
+                plan.batch_size, plan.frames, crop,
                 n_classes=recipe.n_classes, seed=n)
             batch["plan"] = plan
-            out = trainer.train_batch(batch)
-            trainer.logger.log(
-                "train", step=trainer.step_count, loss=float(out["loss"]),
-                lr=out["lr"], bucket=str(plan.bucket_key))
+            if group_size > 1:
+                outs = trainer.train_batch_grouped(batch)
+            else:
+                outs = [trainer.train_batch(batch)]
+            for out in outs:
+                trainer.logger.log(
+                    "train", step=trainer.step_count,
+                    iteration=n, loss=float(out["loss"]),
+                    lr=out["lr"], bucket=str(plan.bucket_key),
+                    bn_splits=trainer.bn_splits)
+            # no early break: epoch() advances its state after each yield,
+            # so the generator must be exhausted, not abandoned
             n += 1
+    if group_size > 1:
+        for out in trainer.flush_groups():
+            trainer.logger.log(
+                "train", step=trainer.step_count, iteration=n,
+                loss=float(out["loss"]), lr=out["lr"],
+                bucket="flush", bn_splits=trainer.bn_splits)
     trainer.logger.log("bucket_times", **{
         k: round(v["mean_s"], 4)
         for k, v in trainer.timer.summary().items()})
@@ -535,15 +586,21 @@ def run(recipe: KineticsRecipe, *, train_root: str, train_anno: str,
                                   min_frames=recipe.frames)
     val_samples = scan_kinetics(val_root, val_anno, labels, "validate",
                                 min_frames=recipe.frames)
+    # every host decodes ONLY its process_index slice of each global batch
+    # (parallel/multihost.py); single-process this is the whole batch
     loader = KineticsTrainLoader(
         train_samples, trainer.schedule, reader=reader,
         short_side=recipe.short_side, crop_size=recipe.crop_size,
-        scales=scales, gamma_tau=recipe.gamma_tau)
+        scales=scales, gamma_tau=recipe.gamma_tau,
+        process_index=jax.process_index(),
+        process_count=jax.process_count())
     val_loader = KineticsEvalLoader(
         val_samples, reader=reader, short_side=recipe.short_side,
         gamma_tau=recipe.gamma_tau,
         frames=recipe.frames // recipe.gamma_tau, crops=recipe.val_crops,
-        batch_size=recipe.batch_size)
+        batch_size=recipe.batch_size,
+        process_index=jax.process_index(),
+        process_count=jax.process_count())
 
     ipe = recipe.iterations_per_epoch
     while trainer.epochs < recipe.max_epochs:
@@ -633,7 +690,10 @@ def main():
     recipe = KineticsRecipe(**kw)
 
     if args.synthetic:
-        run_synthetic(recipe, iterations=args.iterations)
+        logger = MetricLogger(os.path.join(recipe.out_dir,
+                                           "synthetic_log.jsonl"))
+        run_synthetic(recipe, iterations=args.iterations, logger=logger,
+                      group_size=max(args.group_size, 1))
     else:
         missing = [k for k in ("train_root", "train_anno", "val_root",
                                "val_anno", "labels")
