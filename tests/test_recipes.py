@@ -42,6 +42,30 @@ class TestKineticsRecipe:
         assert trainer.bn_splits in (16, 8)
         assert np.isfinite(trainer.lr_ctrl.lr)
 
+    def test_synthetic_device_data_grouped(self):
+        """The training-record path: on-chip class-coded batches through
+        the grouped lax.scan dispatch (device arrays must stack on device,
+        not route through np.stack)."""
+        trainer = run_synthetic(tiny_kinetics_recipe(), iterations=4,
+                                group_size=2, class_coded=True,
+                                device_data=True)
+        assert trainer.step_count == 4
+        assert np.isfinite(trainer.lr_ctrl.lr)
+
+    def test_device_batch_matches_host_format(self):
+        from x3d_multigrid_tpu.data.synthetic import (
+            synthetic_train_batch_device,
+        )
+        b = synthetic_train_batch_device(jax.random.PRNGKey(0), 4, 2, 8,
+                                         n_classes=5, class_coded=True)
+        host = synthetic_train_batch(4, 2, 8, n_classes=5,
+                                     class_coded=True)
+        for k in host:
+            assert np.asarray(b[k]).dtype == host[k].dtype, k
+            assert np.asarray(b[k]).shape == host[k].shape, k
+        assert np.asarray(b["label"]).min() >= 0
+        assert np.asarray(b["label"]).max() < 5
+
     def test_long_cycle_transition_resizes_bn(self):
         # tiny total: 16 iterations -> phase1 = [0, 6); chunks of 1.6 =>
         # long index advances within a few iterations
@@ -102,6 +126,32 @@ class TestCharadesRecipe:
         trainer = run_charades_synthetic(tiny_charades_recipe("loc"),
                                          iterations=2)
         assert trainer.step_count == 2
+
+    @pytest.mark.parametrize("task", ["class", "loc"])
+    def test_grouped_synthetic(self, task):
+        """Grouped lax.scan dispatch (incl. the loc mask field) plus the
+        partial-group flush for the odd remainder iteration."""
+        trainer = run_charades_synthetic(tiny_charades_recipe(task),
+                                         iterations=3, group_size=2)
+        assert trainer.step_count == 3
+        assert trainer._group_buf == []
+
+    def test_grouped_matches_single_dispatch(self):
+        """One grouped dispatch of 2 == 2 single steps (same data/rng
+        structure aside: losses must be finite and params advance)."""
+        t = CharadesTrainer(tiny_charades_recipe("class"), group_size=2)
+        rng = np.random.RandomState(3)
+        r = t.recipe
+        for i in range(2):
+            outs = t.train_batch_grouped({
+                "clip": rng.randint(0, 255, (r.batch_size, r.model_frames,
+                                             r.crop_size, r.crop_size, 3),
+                                    np.uint8),
+                "flip": rng.rand(r.batch_size) < 0.5,
+                "label": (rng.rand(r.batch_size, r.n_classes) > 0.9
+                          ).astype(np.float32)})
+        assert len(outs) == 2 and t.step_count == 2
+        assert all(np.isfinite(float(o["loss"])) for o in outs)
 
     def test_class_eval_epoch(self):
         trainer = CharadesTrainer(tiny_charades_recipe("class"))

@@ -101,12 +101,80 @@ def make_fake_charades(root: str, *, n_videos: int = 3, n_frames: int = 170,
 
 
 def synthetic_train_batch(batch_size: int, frames: int, crop: int,
-                          n_classes: int = 400, seed: int = 0):
-    """Random uint8 batch in the loader's output format."""
+                          n_classes: int = 400, seed: int = 0,
+                          class_coded: bool = False):
+    """Random uint8 batch in the loader's output format.
+
+    ``class_coded=True`` paints each clip a label-determined mean color
+    plus noise (same scheme as make_fake_kinetics) so synthetic training
+    runs have a learnable signal and the loss trajectory in the
+    training-record artifact actually descends."""
     rng = np.random.RandomState(seed)
+    labels = rng.randint(0, n_classes, (batch_size,)).astype(np.int32)
+    if class_coded:
+        base = np.stack([(labels * 97) % 256, (labels * 53 + 80) % 256,
+                         (labels * 31 + 160) % 256], -1).astype(np.float32)
+        noise = rng.randint(0, 60, (batch_size, frames, crop, crop, 3))
+        clip = np.clip(base[:, None, None, None] * 0.8 + noise,
+                       0, 255).astype(np.uint8)
+    else:
+        clip = rng.randint(0, 255, (batch_size, frames, crop, crop, 3),
+                           np.uint8)
     return {
-        "clip": rng.randint(0, 255, (batch_size, frames, crop, crop, 3),
-                            np.uint8),
+        "clip": clip,
         "flip": rng.rand(batch_size) < 0.5,
-        "label": rng.randint(0, n_classes, (batch_size,)).astype(np.int32),
+        "label": labels,
     }
+
+
+def synthetic_train_batch_device(key, batch_size: int, frames: int,
+                                 crop: int, n_classes: int = 400,
+                                 class_coded: bool = False):
+    """On-device analog of :func:`synthetic_train_batch` (same color-coding
+    scheme, ``jax.random`` instead of numpy).
+
+    Exists for full-geometry training-record runs on remote-tunneled TPUs:
+    host→device staging of a full multigrid batch through the relay is
+    ~1 MB/s, so host-generated batches would spend hours in transfer.  The
+    real staging path is exercised (and timed) by bench.py/--with-loader;
+    here the record's subject is the optimization trajectory, so batches
+    are generated on the chip and only the PRNG key crosses the wire."""
+    import jax
+    import jax.numpy as jnp
+    return _device_batch(key, batch_size=batch_size, frames=frames,
+                         crop=crop, n_classes=n_classes,
+                         class_coded=class_coded)
+
+
+def _device_batch_impl(key, *, batch_size, frames, crop, n_classes,
+                       class_coded):
+    import jax
+    import jax.numpy as jnp
+    kl, kf, kn = jax.random.split(key, 3)
+    labels = jax.random.randint(kl, (batch_size,), 0, n_classes, jnp.int32)
+    flip = jax.random.bernoulli(kf, 0.5, (batch_size,))
+    shape = (batch_size, frames, crop, crop, 3)
+    if class_coded:
+        base = jnp.stack([(labels * 97) % 256, (labels * 53 + 80) % 256,
+                          (labels * 31 + 160) % 256], -1).astype(jnp.float32)
+        noise = jax.random.randint(kn, shape, 0, 60, jnp.int32)
+        clip = jnp.clip(base[:, None, None, None] * 0.8 + noise,
+                        0, 255).astype(jnp.uint8)
+    else:
+        clip = jax.random.randint(kn, shape, 0, 256, jnp.int32
+                                  ).astype(jnp.uint8)
+    return {"clip": clip, "flip": flip, "label": labels}
+
+
+_DEVICE_BATCH_JIT = None
+
+
+def _device_batch(key, **kw):
+    global _DEVICE_BATCH_JIT
+    if _DEVICE_BATCH_JIT is None:
+        import jax
+        _DEVICE_BATCH_JIT = jax.jit(
+            _device_batch_impl,
+            static_argnames=("batch_size", "frames", "crop", "n_classes",
+                            "class_coded"))
+    return _DEVICE_BATCH_JIT(key, **kw)

@@ -87,6 +87,10 @@ class KineticsRecipe:
     # reference (cur_iterations = steps * num_steps_per_update, :120, and
     # lr_schedule = [i // num_steps_per_update ...], :130).
     num_steps_per_update: int = 1
+    # jax.profiler trace of the first N train iterations into
+    # out_dir/profile (SURVEY §5.1: tracing is first-class here; the
+    # reference has only wall-clock progress bars)
+    profile_steps: int = 0
     # Smoke-run overrides (None -> per-version defaults)
     crop_size_override: Optional[int] = None
     gamma_tau_override: Optional[int] = None
@@ -348,8 +352,13 @@ class MultigridTrainer:
         self.timer.start(key)
         self.rng, grp_rng = jax.random.split(self.rng)
         if len(items) == self.group_size and self._train_loop is not None:
+            # host batches: one big np.stack then a single transfer;
+            # already-on-device batches (run_synthetic device_data):
+            # stack on device
             stacked = {
-                f: jnp.asarray(np.stack([b[f] for b, _ in items]))
+                f: (jnp.asarray(np.stack([b[f] for b, _ in items]))
+                    if isinstance(items[0][0][f], np.ndarray)
+                    else jnp.stack([b[f] for b, _ in items]))
                 for f in ("clip", "flip", "label")}
             lrs = jnp.asarray([lr for _, lr in items], jnp.float32)
             self.params, self.momentum, self.bn_state, out = \
@@ -509,9 +518,35 @@ class MultigridTrainer:
         self.logger.log("restore", path=path, step=self.step_count)
 
 
+def _maybe_start_profile(trainer, recipe):
+    if recipe.profile_steps <= 0:
+        trainer._profiling = False
+        return
+    logdir = os.path.join(recipe.out_dir, "profile")
+    try:
+        jax.profiler.start_trace(logdir)
+        trainer._profiling = True
+        trainer.logger.log("profile", status="started", logdir=logdir)
+    except Exception as e:  # some remote backends cannot trace devices
+        trainer._profiling = False
+        trainer.logger.log("profile", status=f"unavailable: {e}")
+
+
+def _maybe_stop_profile(trainer, n):
+    if getattr(trainer, "_profiling", False) \
+            and n >= trainer.recipe.profile_steps:
+        trainer._profiling = False
+        try:
+            jax.profiler.stop_trace()
+            trainer.logger.log("profile", status="written", steps=n)
+        except Exception as e:
+            trainer.logger.log("profile", status=f"stop failed: {e}")
+
+
 def run_synthetic(recipe: KineticsRecipe, *, iterations: int = 12,
                   logger: Optional[MetricLogger] = None,
-                  group_size: int = 1, adaptive_crops: bool = True):
+                  group_size: int = 1, adaptive_crops: bool = True,
+                  class_coded: bool = False, device_data: bool = False):
     """Dataset-free smoke run: drives the full multigrid machinery (bucket
     transitions, BN resize, LR events) on random data.
 
@@ -522,18 +557,31 @@ def run_synthetic(recipe: KineticsRecipe, *, iterations: int = 12,
     This is also the real-TPU training-record path (--synthetic with a
     shrunken --dataset-size so long-cycle transitions land inside the
     run, mirroring the reference log's transition table,
-    log_x3d_kinetics_multigrid.txt:15-234)."""
-    from x3d_multigrid_tpu.data.synthetic import synthetic_train_batch
+    log_x3d_kinetics_multigrid.txt:15-234).  ``device_data`` generates
+    the batches on-chip (see synthetic_train_batch_device's docstring:
+    required when the TPU sits behind a slow staging relay)."""
+    from x3d_multigrid_tpu.data.synthetic import (
+        synthetic_train_batch, synthetic_train_batch_device,
+    )
 
     trainer = MultigridTrainer(recipe, logger=logger,
                                group_size=group_size)
+    data_key = jax.random.PRNGKey(1234)
     n = 0
+    _maybe_start_profile(trainer, recipe)
     while n < iterations:
         for plan in trainer.schedule.epoch(iterations - n):
             crop = plan.crop if adaptive_crops else recipe.crop_size
-            batch = synthetic_train_batch(
-                plan.batch_size, plan.frames, crop,
-                n_classes=recipe.n_classes, seed=n)
+            if device_data:
+                batch = synthetic_train_batch_device(
+                    jax.random.fold_in(data_key, n),
+                    plan.batch_size, plan.frames, crop,
+                    n_classes=recipe.n_classes, class_coded=class_coded)
+            else:
+                batch = synthetic_train_batch(
+                    plan.batch_size, plan.frames, crop,
+                    n_classes=recipe.n_classes, seed=n,
+                    class_coded=class_coded)
             batch["plan"] = plan
             if group_size > 1:
                 outs = trainer.train_batch_grouped(batch)
@@ -548,6 +596,7 @@ def run_synthetic(recipe: KineticsRecipe, *, iterations: int = 12,
             # no early break: epoch() advances its state after each yield,
             # so the generator must be exhausted, not abandoned
             n += 1
+            _maybe_stop_profile(trainer, n)
     if group_size > 1:
         for out in trainer.flush_groups():
             trainer.logger.log(
@@ -603,6 +652,7 @@ def run(recipe: KineticsRecipe, *, train_root: str, train_anno: str,
         process_count=jax.process_count())
 
     ipe = recipe.iterations_per_epoch
+    _maybe_start_profile(trainer, recipe)
     while trainer.epochs < recipe.max_epochs:
         for phase in recipe.train_epochs_per_val * ["train"] + ["val"]:
             if phase == "train":
@@ -618,6 +668,7 @@ def run(recipe: KineticsRecipe, *, train_root: str, train_anno: str,
                     for out in outs:
                         pending.append((out["loss"], out["correct"],
                                         out["batch_size"]))
+                    _maybe_stop_profile(trainer, trainer.iterations)
                     # cadences count UPDATE steps (reference:275-291), so
                     # skip micro-steps that did not apply an update
                     if not any(o.get("updated", True) for o in outs):
@@ -668,13 +719,29 @@ def main():
     ap.add_argument("--num-steps-per-update", type=int, default=1,
                     help="gradient-accumulation micro-steps per optimizer "
                          "update (reference num_steps_per_update)")
+    ap.add_argument("--warmup-steps", type=int, default=None,
+                    help="LR warmup steps (default: reference 8000; set "
+                         "small for compressed training-record runs)")
+    ap.add_argument("--class-coded", action="store_true",
+                    help="synthetic clips carry a label-determined color "
+                         "so the loss trajectory descends")
+    ap.add_argument("--device-data", action="store_true",
+                    help="generate synthetic batches on-device (for "
+                         "record runs on remote-tunneled TPUs where host "
+                         "staging of full batches is impractical)")
+    ap.add_argument("--profile-steps", type=int, default=0,
+                    help="capture a jax.profiler trace of the first N "
+                         "train iterations into OUT_DIR/profile")
     args = ap.parse_args()
 
     kw = dict(version=args.version, max_epochs=args.max_epochs,
               dataset_size=args.dataset_size, out_dir=args.out_dir,
               compute_dtype=args.dtype, remat=args.remat,
               ckpt_backend=args.ckpt_backend,
-              num_steps_per_update=args.num_steps_per_update)
+              num_steps_per_update=args.num_steps_per_update,
+              profile_steps=args.profile_steps)
+    if args.warmup_steps is not None:
+        kw["warmup_steps"] = args.warmup_steps
     if args.batch_size:
         kw["batch_size"] = args.batch_size
     if args.tiny:
@@ -693,7 +760,9 @@ def main():
         logger = MetricLogger(os.path.join(recipe.out_dir,
                                            "synthetic_log.jsonl"))
         run_synthetic(recipe, iterations=args.iterations, logger=logger,
-                      group_size=max(args.group_size, 1))
+                      group_size=max(args.group_size, 1),
+                      class_coded=args.class_coded,
+                      device_data=args.device_data)
     else:
         missing = [k for k in ("train_root", "train_anno", "val_root",
                                "val_anno", "labels")
