@@ -444,15 +444,17 @@ def run(recipe: CharadesRecipe, *, root: str, anno: str,
         process_index=pidx, process_count=pcount)
 
     ipe = max(len(train_videos) // recipe.batch_size, 1)
+    # interval-based cadences: grouped dispatch advances step_count by
+    # group_size, so exact-modulo checks could skip their firing step.
+    # Anchors persist across epochs — the interval is in steps, and an
+    # epoch can be shorter than it.
+    last_ckpt = trainer.step_count
     while trainer.epochs < recipe.max_epochs:
         for phase in recipe.train_epochs_per_val * ["train"] + ["val"]:
             if phase == "train":
                 trainer.epochs += 1
                 pending = []
-                # interval-based cadences: grouped dispatch advances
-                # step_count by group_size, so exact-modulo checks could
-                # skip their firing step
-                last_log = last_ckpt = trainer.step_count
+                last_log = trainer.step_count
                 for batch in loader.epoch():
                     if trainer.group_size > 1:
                         outs = trainer.train_batch_grouped(batch)

@@ -732,6 +732,10 @@ def main():
     ap.add_argument("--profile-steps", type=int, default=0,
                     help="capture a jax.profiler trace of the first N "
                          "train iterations into OUT_DIR/profile")
+    ap.add_argument("--n-classes", type=int, default=None,
+                    help="output classes (default 400; set to the label "
+                         "count when training on a non-Kinetics-400 "
+                         "directory, e.g. a smoke-test dataset)")
     args = ap.parse_args()
 
     kw = dict(version=args.version, max_epochs=args.max_epochs,
@@ -740,6 +744,8 @@ def main():
               ckpt_backend=args.ckpt_backend,
               num_steps_per_update=args.num_steps_per_update,
               profile_steps=args.profile_steps)
+    if args.n_classes is not None:
+        kw["n_classes"] = args.n_classes
     if args.warmup_steps is not None:
         kw["warmup_steps"] = args.warmup_steps
     if args.batch_size:
