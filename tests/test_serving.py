@@ -72,3 +72,35 @@ class TestServing:
         clips = np.zeros((2, 2, 20, 20, 3), np.uint8)
         probs, preds = engine.classify(clips)
         assert probs.shape == (2, 7)
+
+    def test_localize(self):
+        """Loc engine matches eval forward + interp + sigmoid by hand."""
+        from x3d_multigrid_tpu.models import forward
+        from x3d_multigrid_tpu.ops.interpolate import linear_interp_time
+        from x3d_multigrid_tpu.ops.preprocess import eval_preprocess_impl
+        _, params, st = _trained_state()
+        cfg_loc = x3d_config(**{**TINY, "task": "loc"})
+        engine = InferenceEngine(params, st, cfg_loc, crop_size=16,
+                                 compute_dtype=None)
+        clips = np.random.RandomState(1).randint(
+            0, 255, (2, 4, 20, 20, 3), np.uint8)
+        probs = engine.localize(clips, out_len=11)
+        assert probs.shape == (2, 11, 7)
+        assert (probs > 0).all() and (probs < 1).all()
+        x = eval_preprocess_impl(jnp.asarray(clips),
+                                 jnp.asarray(engine._mean),
+                                 jnp.asarray(engine._std), out_size=16)
+        ref, _ = forward(params, st, x, cfg=cfg_loc, train=False)
+        ref = jax.nn.sigmoid(linear_interp_time(ref, 11))
+        np.testing.assert_allclose(probs, np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_task_guards(self):
+        cfg, params, st = _trained_state()
+        engine = InferenceEngine(params, st, cfg, crop_size=16,
+                                 compute_dtype=None)
+        try:
+            engine.localize(np.zeros((1, 2, 20, 20, 3), np.uint8), 4)
+            assert False, "expected ValueError"
+        except ValueError:
+            pass

@@ -19,6 +19,7 @@ import numpy as np
 from x3d_multigrid_tpu.models.x3d import X3DConfig, CROP_SIZE
 from x3d_multigrid_tpu.models import aggregate_all_subbn
 from x3d_multigrid_tpu.models.folding import fold_bn, forward_folded
+from x3d_multigrid_tpu.ops.interpolate import linear_interp_time
 from x3d_multigrid_tpu.ops.preprocess import eval_preprocess_impl
 from x3d_multigrid_tpu.train.recipes.kinetics_multigrid import (
     KINETICS_MEAN, KINETICS_STD,
@@ -58,6 +59,18 @@ class InferenceEngine:
 
         self._fn = _classify
 
+        @functools.partial(jax.jit, static_argnames=("out_len",))
+        def _localize(folded_params, clips_u8, out_len):
+            x = eval_preprocess_impl(clips_u8, self._mean, self._std,
+                                     out_size=self.crop_size)
+            if self._dtype is not None:
+                x = x.astype(self._dtype)
+            logits = forward_folded(folded_params, x, cfg=cfg)  # (B, T', C)
+            logits = linear_interp_time(logits.astype(jnp.float32), out_len)
+            return jax.nn.sigmoid(logits)
+
+        self._loc_fn = _localize
+
     @classmethod
     def from_checkpoint(cls, path: str, cfg: X3DConfig, **kw):
         if path.endswith(".pt"):
@@ -76,9 +89,26 @@ class InferenceEngine:
     def classify(self, clips_u8) -> Tuple[np.ndarray, np.ndarray]:
         """``clips_u8``: (B, n_views, T, R, R, 3) uint8 center-crop squares
         (or (B, T, R, R, 3) for single view).  Returns (probs, preds)."""
+        if self.cfg.task != "class":
+            raise ValueError("classify() requires a task='class' model; "
+                             "use localize() for task='loc'")
         clips_u8 = jnp.asarray(clips_u8)
         if clips_u8.ndim == 5:
             clips_u8 = clips_u8[:, None]
         probs, preds = self._fn(self._folded, clips_u8,
                                 clips_u8.shape[1])
         return np.asarray(probs), np.asarray(preds)
+
+    def localize(self, clips_u8, out_len: int) -> np.ndarray:
+        """Per-frame action probabilities for a ``task='loc'`` model.
+
+        ``clips_u8``: (B, T, R, R, 3) uint8 whole-video windows.  The
+        head's (B, T', C) logits are linearly interpolated to ``out_len``
+        frames then passed through sigmoid — the reference's localization
+        scoring (train_x3d_charades_loc.py:168-186).  Returns
+        (B, out_len, C) float32 probabilities."""
+        if self.cfg.task != "loc":
+            raise ValueError("localize() requires a task='loc' model; "
+                             "use classify() for task='class'")
+        probs = self._loc_fn(self._folded, jnp.asarray(clips_u8), out_len)
+        return np.asarray(probs)
