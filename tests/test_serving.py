@@ -95,6 +95,34 @@ class TestServing:
         np.testing.assert_allclose(probs, np.asarray(ref),
                                    rtol=2e-4, atol=2e-4)
 
+    def test_export_serialized_roundtrip(self):
+        """AOT blob reproduces the engine's output with no model code."""
+        from x3d_multigrid_tpu.serving import load_serialized
+        cfg, params, st = _trained_state()
+        engine = InferenceEngine(params, st, cfg, crop_size=16,
+                                 compute_dtype=None)
+        clips = np.random.RandomState(2).randint(
+            0, 255, (2, 3, 2, 20, 20, 3), np.uint8)
+        blob = engine.export_serialized(2, 2, 20, n_views=3,
+                                        platforms=("cpu",))
+        assert isinstance(blob, bytes) and len(blob) > 0
+        probs, preds = engine.classify(clips)
+        probs2, preds2 = load_serialized(blob)(jnp.asarray(clips))
+        np.testing.assert_allclose(np.asarray(probs2), probs,
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(preds2), preds)
+
+        cfg_loc = x3d_config(**{**TINY, "task": "loc"})
+        eng_loc = InferenceEngine(params, st, cfg_loc, crop_size=16,
+                                  compute_dtype=None)
+        blob = eng_loc.export_serialized(1, 4, 20, out_len=9,
+                                         platforms=("cpu",))
+        x = np.random.RandomState(3).randint(
+            0, 255, (1, 4, 20, 20, 3), np.uint8)
+        np.testing.assert_allclose(
+            np.asarray(load_serialized(blob)(jnp.asarray(x))),
+            eng_loc.localize(x, 9), rtol=1e-5, atol=1e-6)
+
     def test_task_guards(self):
         cfg, params, st = _trained_state()
         engine = InferenceEngine(params, st, cfg, crop_size=16,

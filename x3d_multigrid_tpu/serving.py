@@ -112,3 +112,42 @@ class InferenceEngine:
                              "use classify() for task='class'")
         probs = self._loc_fn(self._folded, jnp.asarray(clips_u8), out_len)
         return np.asarray(probs)
+
+    def export_serialized(self, batch_size: int, t: int, in_size: int, *,
+                          n_views: int = 1, out_len: Optional[int] = None,
+                          platforms=("cpu", "tpu")) -> bytes:
+        """AOT-export the folded inference computation — weights baked in
+        as constants — to a serialized StableHLO artifact (``jax.export``).
+
+        The blob is self-contained: reload it anywhere with
+        ``load_serialized`` (no model code, config, or checkpoint needed)
+        or hand the MLIR to a PjRT C++ runtime.  Shapes are fixed at
+        export time.
+
+        task='class': input (B, n_views, T, R, R, 3) uint8 →
+        (probs, preds).  task='loc' (``out_len`` required):
+        (B, T, R, R, 3) uint8 → (B, out_len, C) per-frame probs.
+        """
+        from jax import export as jax_export
+        if self.cfg.task == "class":
+            fn = jax.jit(
+                lambda clips: self._fn(self._folded, clips, n_views))
+            spec = jax.ShapeDtypeStruct(
+                (batch_size, n_views, t, in_size, in_size, 3), jnp.uint8)
+        else:
+            if out_len is None:
+                raise ValueError("out_len is required for task='loc'")
+            fn = jax.jit(
+                lambda clips: self._loc_fn(self._folded, clips, out_len))
+            spec = jax.ShapeDtypeStruct(
+                (batch_size, t, in_size, in_size, 3), jnp.uint8)
+        return bytes(jax_export.export(fn, platforms=list(platforms))(
+            spec).serialize())
+
+
+def load_serialized(blob: bytes):
+    """Rehydrate an ``export_serialized`` artifact into a jitted callable
+    taking the uint8 clip array.  Works without the checkpoint or any
+    model code."""
+    from jax import export as jax_export
+    return jax.jit(jax_export.deserialize(blob).call)
