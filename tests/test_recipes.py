@@ -52,6 +52,28 @@ class TestKineticsRecipe:
         assert trainer.step_count == 4
         assert np.isfinite(trainer.lr_ctrl.lr)
 
+    @pytest.mark.slow  # ~12 min: compiles every bucket twice on 1 core
+    @pytest.mark.parametrize("mode", ["accum", "grouped"])
+    def test_precompile_warms_the_dispatched_step(self, mode):
+        """precompile() must warm the step the configuration actually
+        dispatches (grad/apply under accumulation, the grouped scan loop
+        under group_size>1), not just the plain train step."""
+        if mode == "accum":
+            trainer = MultigridTrainer(
+                tiny_kinetics_recipe(num_steps_per_update=2))
+        else:
+            trainer = MultigridTrainer(tiny_kinetics_recipe(),
+                                       group_size=2)
+        trainer.precompile()
+        from x3d_multigrid_tpu.multigrid import enumerate_buckets
+        n_buckets = len(enumerate_buckets(trainer.mcfg))
+        if mode == "accum":
+            assert trainer.grad_step._cache_size() == n_buckets
+            assert trainer.apply_step._cache_size() == 1
+        else:
+            assert trainer._train_loop._cache_size() == n_buckets
+            assert trainer.train_step._cache_size() == n_buckets
+
     def test_device_batch_matches_host_format(self):
         from x3d_multigrid_tpu.data.synthetic import (
             synthetic_train_batch_device,

@@ -383,16 +383,21 @@ class MultigridTrainer:
         return results
 
     def precompile(self):
-        """Compile every bucket's step up-front on throwaway cloned state
-        (the live trees must not be donated here).  Batches go through
-        ``_stage`` so multi-process runs compile against the same
-        globally-sharded layout training will use."""
+        """Compile every bucket's dispatch path up-front on throwaway
+        cloned state (the live trees must not be donated here).  Batches
+        go through ``_stage`` so multi-process runs compile against the
+        same globally-sharded layout training will use.
+
+        Warms whichever step the configuration actually dispatches:
+        ``grad_step``+``apply_step`` under gradient accumulation, the
+        grouped ``lax.scan`` loop (plus the single step, used for
+        partial-group flushes at transitions) under ``group_size > 1``,
+        else the plain train step."""
         t0 = time.time()
         c0 = self.recipe.crop_size
         pcount = jax.process_count()
+        apply_warmed = False
         for b in enumerate_buckets(self.mcfg):
-            params_c = jax.tree.map(jnp.copy, self.params)
-            mom_c = jax.tree.map(jnp.copy, self.momentum)
             bn_c = init_bn_state(self.cfg, b.bn_splits)
             local = b.batch_size // pcount  # host-local share
             batch = self._stage({
@@ -400,10 +405,33 @@ class MultigridTrainer:
                 "flip": np.zeros((local,), bool),
                 "label": np.zeros((local,), np.int32),
             })
+            if self.nspu > 1:
+                grads, _, loss, _ = self.grad_step(
+                    self.params, bn_c, batch, jax.random.PRNGKey(0),
+                    out_size=b.crop)
+                jax.block_until_ready(loss)
+                if not apply_warmed:  # shape-invariant: once is enough
+                    self.apply_step(jax.tree.map(jnp.copy, self.params),
+                                    jax.tree.map(jnp.copy, self.momentum),
+                                    grads, jnp.float32(0.0))
+                    apply_warmed = True
+                continue
+            params_c = jax.tree.map(jnp.copy, self.params)
+            mom_c = jax.tree.map(jnp.copy, self.momentum)
             _, _, _, out = self.train_step(
                 params_c, mom_c, bn_c, batch, jnp.float32(0.0),
                 jax.random.PRNGKey(0), out_size=b.crop)
             jax.block_until_ready(out.loss)
+            if self._train_loop is not None:
+                gbatch = {k: jnp.stack([v] * self.group_size)
+                          for k, v in batch.items()}
+                lrs = jnp.zeros((self.group_size,), jnp.float32)
+                _, _, _, out = self._train_loop(
+                    jax.tree.map(jnp.copy, self.params),
+                    jax.tree.map(jnp.copy, self.momentum),
+                    init_bn_state(self.cfg, b.bn_splits),
+                    gbatch, lrs, jax.random.PRNGKey(0), out_size=b.crop)
+                jax.block_until_ready(out.loss)
         self.logger.log("precompile", seconds=time.time() - t0,
                         buckets=len(enumerate_buckets(self.mcfg)))
 
@@ -621,6 +649,21 @@ def run(recipe: KineticsRecipe, *, train_root: str, train_anno: str,
     )
     from x3d_multigrid_tpu.data.reader import default_reader
 
+    # scan the datasets FIRST: an empty index silently trains on nothing /
+    # reports 0.0 val top-1, and should fail loudly before the minutes of
+    # bucket precompilation below
+    train_samples = scan_kinetics(train_root, train_anno, labels, "train",
+                                  min_frames=recipe.frames)
+    val_samples = scan_kinetics(val_root, val_anno, labels, "validate",
+                                min_frames=recipe.frames)
+    for name, found, where in (("train", train_samples, train_root),
+                               ("validate", val_samples, val_root)):
+        if not found:
+            raise ValueError(
+                f"{name} scan found no clips with > {recipe.frames + 1} "
+                f"frames under {where} (check the annotation subset "
+                "labels and frame-folder layout)")
+
     logger = MetricLogger(os.path.join(recipe.out_dir, "train_log.jsonl"))
     trainer = MultigridTrainer(recipe, logger=logger,
                                group_size=group_size)
@@ -631,10 +674,6 @@ def run(recipe: KineticsRecipe, *, train_root: str, train_anno: str,
 
     reader = default_reader()
     scales = train_scales(recipe.crop_size, RESIZE_SIZE[recipe.version])
-    train_samples = scan_kinetics(train_root, train_anno, labels, "train",
-                                  min_frames=recipe.frames)
-    val_samples = scan_kinetics(val_root, val_anno, labels, "validate",
-                                min_frames=recipe.frames)
     # every host decodes ONLY its process_index slice of each global batch
     # (parallel/multihost.py); single-process this is the whole batch
     loader = KineticsTrainLoader(
