@@ -17,10 +17,12 @@
 #include <jpeglib.h>
 
 #include <algorithm>
+#include <atomic>
 #include <cmath>
 #include <csetjmp>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -185,6 +187,29 @@ void resample(const uint8_t* src, int src_stride_px, int x0, int y0,
   }
 }
 
+// Slurp a whole file; returns false on any IO error.
+bool read_file(const char* path, std::vector<uint8_t>* buf) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return false;
+  if (std::fseek(f, 0, SEEK_END) != 0) {
+    std::fclose(f);
+    return false;
+  }
+  const long sz = std::ftell(f);
+  if (sz < 0) {
+    std::fclose(f);
+    return false;
+  }
+  std::fseek(f, 0, SEEK_SET);
+  buf->resize(static_cast<size_t>(sz));
+  const bool ok =
+      sz == 0 ||
+      std::fread(buf->data(), 1, static_cast<size_t>(sz), f) ==
+          static_cast<size_t>(sz);
+  std::fclose(f);
+  return ok;
+}
+
 void short_side_dims(int w, int h, int short_side, int* nw, int* nh) {
   if (short_side <= 0 || std::min(w, h) == short_side) {
     *nw = w;
@@ -265,6 +290,70 @@ int x3d_decode_frame(const uint8_t* data, size_t len, int short_side,
   if (side > std::min(tw, th)) return 2;
 
   resample(base, stride, x1, y1, side, side, out_size, out_size, out);
+  return 0;
+}
+
+// Decode a whole clip natively: file IO + decode + crop for `n_frames`
+// JPEG paths with one shared crop (the clip-consistent augmentation
+// contract, spatial_transforms.py:30-32), frame-parallel over an internal
+// worker team — no Python in the per-frame loop (the reference leans on 12
+// forked DataLoader worker *processes* for this, dataloader.py:704-723).
+// n_threads <= 0 => hardware concurrency. Crop/size semantics are exactly
+// x3d_decode_frame's; out must hold n_frames*out_size*out_size*3 bytes.
+// Returns 0, or the first failing frame's error code with its index in
+// *err_frame.
+int x3d_decode_clip(const char* const* paths, int n_frames, int short_side,
+                    int use_dct_scale, int crop_x, int crop_y, int crop_side,
+                    int out_size, int n_threads, uint8_t* out,
+                    int* err_frame) {
+  if (n_frames <= 0) return 0;
+  if (n_threads <= 0) {
+    n_threads = static_cast<int>(std::thread::hardware_concurrency());
+    if (n_threads <= 0) n_threads = 1;
+  }
+  n_threads = std::min(n_threads, n_frames);
+
+  const size_t frame_bytes = static_cast<size_t>(out_size) * out_size * 3;
+  std::vector<int> rcs(n_frames, 0);
+  std::atomic<int> next(0);
+  std::atomic<bool> failed(false);
+
+  auto work = [&]() {
+    std::vector<uint8_t> buf;
+    for (;;) {
+      const int i = next.fetch_add(1, std::memory_order_relaxed);
+      if (i >= n_frames || failed.load(std::memory_order_relaxed)) break;
+      int rc;
+      if (!read_file(paths[i], &buf)) {
+        rc = 3;
+      } else {
+        rc = x3d_decode_frame(buf.data(), buf.size(), short_side,
+                              use_dct_scale, crop_x, crop_y, crop_side,
+                              out_size, out + static_cast<size_t>(i)
+                                            * frame_bytes);
+      }
+      if (rc != 0) {
+        rcs[i] = rc;
+        failed.store(true, std::memory_order_relaxed);
+      }
+    }
+  };
+
+  if (n_threads == 1) {
+    work();
+  } else {
+    std::vector<std::thread> team;
+    team.reserve(n_threads);
+    for (int t = 0; t < n_threads; ++t) team.emplace_back(work);
+    for (std::thread& th : team) th.join();
+  }
+
+  for (int i = 0; i < n_frames; ++i) {
+    if (rcs[i] != 0) {
+      if (err_frame != nullptr) *err_frame = i;
+      return rcs[i];
+    }
+  }
   return 0;
 }
 

@@ -66,6 +66,40 @@ class TestNativeVsPIL:
         assert nat.shape == (4, 64, 64, 3)
         assert nat.std() > 0
 
+    def test_batch_clip_entry_bit_identical_to_per_frame(self, frames):
+        """x3d_decode_clip (native IO + frame-parallel loop) must produce
+        exactly the per-frame ctypes path's bytes."""
+        rng = np.random.RandomState(11)
+        w, h = NATIVE._probe(frames[0], 48)
+        from x3d_multigrid_tpu.data.spatial import sample_train_crop_params
+        params = sample_train_crop_params(w, h, (0.875,), rng)
+        crop = (params.x1, params.y1, params.side)
+        per_frame = np.stack([
+            NATIVE._decode(p, 48, crop, 32) for p in frames])
+        for threads in (1, 3):
+            rdr = native.NativeReader(fast=False, frame_threads=threads)
+            assert rdr._has_clip
+            batch = rdr._decode_clip(frames, 48, crop, 32)
+            np.testing.assert_array_equal(batch, per_frame)
+        # eval path too (centered crop, decode-size output)
+        per_frame_eval = np.stack([
+            NATIVE._decode(p, 48, (-1, -1, -1), 48) for p in frames])
+        batch_eval = native.NativeReader(
+            fast=False, frame_threads=2).clip_eval(frames, 48)
+        np.testing.assert_array_equal(batch_eval, per_frame_eval)
+
+    def test_batch_clip_error_names_failing_frame(self, frames, tmp_path):
+        bad = str(tmp_path / "corrupt.jpg")
+        with open(bad, "wb") as f:
+            f.write(b"\xff\xd8 this is not a jpeg")
+        rdr = native.NativeReader(fast=False, frame_threads=2)
+        with pytest.raises(IOError, match="frame 2"):
+            rdr._decode_clip([frames[0], frames[1], bad, frames[3]],
+                             48, (-1, -1, -1), 48)
+        missing = str(tmp_path / "missing.jpg")
+        with pytest.raises(IOError, match="frame 0"):
+            rdr._decode_clip([missing], 48, (-1, -1, -1), 48)
+
     def test_fast_dct_mode_roughly_agrees(self, frames):
         """DCT-scaled decode is a different lowpass; on worst-case noise
         JPEGs it should still track the exact path loosely."""

@@ -38,6 +38,13 @@ def _load_lib():
                 ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
                 ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
                 ctypes.c_int, ctypes.c_void_p]
+            if hasattr(lib, "x3d_decode_clip"):  # stale .so lacks it
+                lib.x3d_decode_clip.restype = ctypes.c_int
+                lib.x3d_decode_clip.argtypes = [
+                    ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+                    ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                    ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                    ctypes.c_void_p, ctypes.POINTER(ctypes.c_int)]
             return lib
     raise FileNotFoundError(
         "libx3djpeg.so not built; run `make -C csrc` "
@@ -51,11 +58,42 @@ class NativeReader:
     decoded at the M/8 size just covering ``short_side`` (2-8x cheaper) at
     the cost of a slightly different lowpass than PIL's full decode +
     triangle resample.  Use ``fast=False`` for PIL-equivalent output.
+
+    Whole clips are decoded through one ``x3d_decode_clip`` call (file IO,
+    decode and crop all native; no Python in the per-frame loop).
+    ``frame_threads`` sizes the C++ worker team *within* a clip: keep the
+    default 1 when the loader already parallelizes over clips (its thread
+    pool composes with this), raise it (or set ``X3D_FRAME_THREADS``) on
+    pod-scale hosts where per-clip latency matters; 0 = all hardware
+    threads.
     """
 
-    def __init__(self, fast: bool = True):
+    def __init__(self, fast: bool = True, frame_threads: int = None):
         self._lib = _load_lib()
         self._fast = 1 if fast else 0
+        if frame_threads is None:
+            frame_threads = int(os.environ.get("X3D_FRAME_THREADS", "1"))
+        self._frame_threads = frame_threads
+        self._has_clip = hasattr(self._lib, "x3d_decode_clip")
+
+    def _decode_clip(self, paths: List[str], short_side: int,
+                     crop: Tuple[int, int, int],
+                     out_size: int) -> np.ndarray:
+        """All frames of a clip in one native call (shared crop params)."""
+        out = np.empty((len(paths), out_size, out_size, 3), np.uint8)
+        arr = (ctypes.c_char_p * len(paths))(
+            *[p.encode() for p in paths])
+        err_frame = ctypes.c_int(-1)
+        rc = self._lib.x3d_decode_clip(
+            arr, len(paths), short_side, self._fast, crop[0], crop[1],
+            crop[2], out_size, self._frame_threads,
+            out.ctypes.data_as(ctypes.c_void_p), ctypes.byref(err_frame))
+        if rc != 0:
+            bad = paths[err_frame.value] if 0 <= err_frame.value < len(paths) \
+                else "?"
+            raise IOError(f"native clip decode failed ({rc}) at frame "
+                          f"{err_frame.value}: {bad}")
+        return out
 
     def _decode(self, path: str, short_side: int, crop: Tuple[int, int, int],
                 out_size: int) -> np.ndarray:
@@ -86,11 +124,17 @@ class NativeReader:
         w, h = self._probe(paths[0], short_side)
         params = sample_train_crop_params(w, h, scales, rng)
         crop = (params.x1, params.y1, params.side)
+        if self._has_clip:
+            return self._decode_clip(paths, short_side, crop,
+                                     out_size), params
         frames = np.stack([
             self._decode(p, short_side, crop, out_size) for p in paths])
         return frames, params
 
     def clip_eval(self, paths: List[str], short_side: int) -> np.ndarray:
+        if self._has_clip:
+            return self._decode_clip(paths, short_side, (-1, -1, -1),
+                                     short_side)
         frames = [
             self._decode(p, short_side, (-1, -1, -1), short_side)
             for p in paths]
