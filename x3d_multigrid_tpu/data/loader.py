@@ -53,15 +53,19 @@ def _proc_reader_init(kind: str = "default"):
 
 def _decode_train_clip(reader, sample: VideoSample, plan: IterationPlan,
                        seed: int, *, sample_duration: int, gamma_tau: int,
-                       short: int, out: int, scales):
-    """Pure decode task shared by the thread and process pools."""
+                       short: int, out: int, scales, out_arr=None):
+    """Pure decode task shared by the thread and process pools.
+    ``out_arr`` (thread pool only — processes can't share it) is this
+    clip's slice of the preallocated batch buffer: decode writes the
+    final staging bytes directly, no assembly copy."""
     rng = np.random.RandomState(seed)
     t_stride = sample_t_stride(sample_duration, plan.raw_frames, rng)
     all_indices = list(range(1, sample.n_frames + 1))
     idx = temporal_random_crop(all_indices, sample_duration, gamma_tau,
                                t_stride, plan.raw_frames, rng)
     paths = [frame_path(sample.video, i) for i in idx]
-    frames, params = reader.clip_train(paths, short, out, scales, rng)
+    frames, params = reader.clip_train(paths, short, out, scales, rng,
+                                       out=out_arr)
     return frames, params.flip, sample.label
 
 
@@ -189,13 +193,13 @@ class KineticsTrainLoader:
         return short, plan.crop
 
     def _load_clip(self, sample: VideoSample, plan: IterationPlan,
-                   seed: int):
+                   seed: int, out_arr=None):
         short, out = self._geometry(plan)
         return _decode_train_clip(
             self.reader, sample, plan, seed,
             sample_duration=self.schedule.cfg.sample_duration,
             gamma_tau=self.gamma_tau, short=short, out=out,
-            scales=self.scales)
+            scales=self.scales, out_arr=out_arr)
 
     def _submit(self, plan: IterationPlan):
         indices = self.stream.take(plan.batch_size)
@@ -219,11 +223,17 @@ class KineticsTrainLoader:
                     gamma_tau=self.gamma_tau, short=short, out=out,
                     scales=self.scales)
                 for j, s in zip(indices, seeds)]
-        else:
-            futures = [
-                self.pool.submit(self._load_clip, self.samples[j], plan, s)
-                for j, s in zip(indices, seeds)]
-        return plan, futures
+            return plan, futures, None
+        # thread pool: decode straight into the batch staging buffer
+        # (disjoint per-clip slices), skipping the np.stack assembly copy
+        _, out = self._geometry(plan)
+        batch_arr = np.empty(
+            (len(indices), plan.frames, out, out, 3), np.uint8)
+        futures = [
+            self.pool.submit(self._load_clip, self.samples[j], plan, s,
+                             out_arr=batch_arr[i])
+            for i, (j, s) in enumerate(zip(indices, seeds))]
+        return plan, futures, batch_arr
 
     def _produce(self, num_iterations: int):
         # Submit decode work `pipeline_batches` iterations ahead so one slow
@@ -239,13 +249,14 @@ class KineticsTrainLoader:
             if len(pending) >= self.pipeline_batches:
                 break
         while pending:
-            plan, futures = pending.popleft()
+            plan, futures, batch_arr = pending.popleft()
             nxt = next(plans, None)
             if nxt is not None:
                 pending.append(self._submit(nxt))
             clips, flips, labels = zip(*(f.result() for f in futures))
             yield {
-                "clip": np.stack(clips),
+                "clip": batch_arr if batch_arr is not None
+                else np.stack(clips),
                 "flip": np.asarray(flips, bool),
                 "label": np.asarray(labels, np.int32),
                 "plan": plan,

@@ -77,10 +77,17 @@ class NativeReader:
         self._has_clip = hasattr(self._lib, "x3d_decode_clip")
 
     def _decode_clip(self, paths: List[str], short_side: int,
-                     crop: Tuple[int, int, int],
-                     out_size: int) -> np.ndarray:
-        """All frames of a clip in one native call (shared crop params)."""
-        out = np.empty((len(paths), out_size, out_size, 3), np.uint8)
+                     crop: Tuple[int, int, int], out_size: int,
+                     out: np.ndarray = None) -> np.ndarray:
+        """All frames of a clip in one native call (shared crop params).
+        ``out`` (contiguous uint8 (T, out_size, out_size, 3)), when given,
+        is written in place — e.g. a slice of the loader's batch buffer."""
+        if out is None:
+            out = np.empty((len(paths), out_size, out_size, 3), np.uint8)
+        else:
+            assert out.flags["C_CONTIGUOUS"] and out.dtype == np.uint8 \
+                and out.shape == (len(paths), out_size, out_size, 3), (
+                    out.shape, out.dtype)
         arr = (ctypes.c_char_p * len(paths))(
             *[p.encode() for p in paths])
         err_frame = ctypes.c_int(-1)
@@ -119,23 +126,29 @@ class NativeReader:
         return w.value, h.value
 
     def clip_train(self, paths: List[str], short_side: int, out_size: int,
-                   scales, rng: np.random.RandomState
+                   scales, rng: np.random.RandomState,
+                   out: np.ndarray = None
                    ) -> Tuple[np.ndarray, TrainCropParams]:
         w, h = self._probe(paths[0], short_side)
         params = sample_train_crop_params(w, h, scales, rng)
         crop = (params.x1, params.y1, params.side)
         if self._has_clip:
-            return self._decode_clip(paths, short_side, crop,
-                                     out_size), params
-        frames = np.stack([
-            self._decode(p, short_side, crop, out_size) for p in paths])
-        return frames, params
+            return self._decode_clip(paths, short_side, crop, out_size,
+                                     out=out), params
+        if out is None:
+            out = np.empty((len(paths), out_size, out_size, 3), np.uint8)
+        for t, p in enumerate(paths):
+            out[t] = self._decode(p, short_side, crop, out_size)
+        return out, params
 
-    def clip_eval(self, paths: List[str], short_side: int) -> np.ndarray:
+    def clip_eval(self, paths: List[str], short_side: int,
+                  out: np.ndarray = None) -> np.ndarray:
         if self._has_clip:
             return self._decode_clip(paths, short_side, (-1, -1, -1),
-                                     short_side)
-        frames = [
-            self._decode(p, short_side, (-1, -1, -1), short_side)
-            for p in paths]
-        return np.stack(frames)
+                                     short_side, out=out)
+        if out is None:
+            out = np.empty((len(paths), short_side, short_side, 3),
+                           np.uint8)
+        for t, p in enumerate(paths):
+            out[t] = self._decode(p, short_side, (-1, -1, -1), short_side)
+        return out

@@ -51,14 +51,20 @@ class PILReader:
         return img
 
     def clip_train(self, paths: List[str], short_side: int, out_size: int,
-                   scales, rng: np.random.RandomState
+                   scales, rng: np.random.RandomState,
+                   out: Optional[np.ndarray] = None
                    ) -> Tuple[np.ndarray, TrainCropParams]:
         """Decode a clip with one shared random crop.  Returns
-        ((T, out_size, out_size, 3) uint8, params)."""
+        ((T, out_size, out_size, 3) uint8, params).  ``out``, when given
+        (same shape/dtype), receives the frames in place — the loader
+        passes batch-buffer slices so decode writes straight into the
+        staging array (the reference needs a pin-memory copy thread for
+        this, dataloader.py:725-747)."""
         from PIL import Image
-        frames = []
+        if out is None:
+            out = np.empty((len(paths), out_size, out_size, 3), np.uint8)
         params: Optional[TrainCropParams] = None
-        for p in paths:
+        for t, p in enumerate(paths):
             img = self._decode(p, short_side)
             if params is None:
                 params = sample_train_crop_params(img.size[0], img.size[1],
@@ -67,18 +73,20 @@ class PILReader:
                             params.y1 + params.side))
             if params.side != out_size:
                 img = img.resize((out_size, out_size), Image.BILINEAR)
-            frames.append(np.asarray(img, np.uint8))
-        return np.stack(frames), params
+            out[t] = np.asarray(img, np.uint8)
+        return out, params
 
-    def clip_eval(self, paths: List[str], short_side: int) -> np.ndarray:
+    def clip_eval(self, paths: List[str], short_side: int,
+                  out: Optional[np.ndarray] = None) -> np.ndarray:
         """Center square crops at decode size: (T, short_side, short_side, 3)."""
-        frames = []
-        for p in paths:
+        if out is None:
+            out = np.empty((len(paths), short_side, short_side, 3), np.uint8)
+        for t, p in enumerate(paths):
             img = self._decode(p, short_side)
             x1, y1, side = center_square_crop(img.size[0], img.size[1])
             img = img.crop((x1, y1, x1 + side, y1 + side))
-            frames.append(np.asarray(img, np.uint8))
-        return np.stack(frames)
+            out[t] = np.asarray(img, np.uint8)
+        return out
 
 
 def default_reader():
