@@ -51,3 +51,36 @@ class TestIndexStream:
         a = ShuffledIndexStream(20, seed=3).take(40)
         b = ShuffledIndexStream(20, seed=3).take(40)
         assert a == b
+
+
+class TestProcessExecutorReaderSpec:
+    """executor='process' must rebuild the parent's reader CONFIG in the
+    workers, not just its family (thread-vs-process bit-exactness)."""
+
+    def test_spec_preserves_native_config(self):
+        from x3d_multigrid_tpu.data.loader import _reader_spec
+        from x3d_multigrid_tpu.data.reader import PILReader
+        assert _reader_spec(PILReader()) == ("pil", {})
+        try:
+            from x3d_multigrid_tpu.data.native import NativeReader
+        except Exception:
+            return  # native lib not built in this env
+        kind, kw = _reader_spec(NativeReader(fast=False, frame_threads=3))
+        assert kind == "native"
+        assert kw == {"fast": False, "frame_threads": 3}
+
+    def test_custom_reader_rejected_for_process_executor(self, tmp_path):
+        from x3d_multigrid_tpu.data.loader import KineticsTrainLoader
+        from x3d_multigrid_tpu.multigrid import (MultigridConfig,
+                                                 MultigridSchedule)
+
+        class WeirdReader:
+            pass
+
+        cfg = MultigridConfig(base_batch_size=8, total_iterations=16,
+                              sample_duration=8, crop_size=32)
+        with pytest.raises(ValueError, match="WeirdReader"):
+            KineticsTrainLoader(
+                [], MultigridSchedule(cfg), reader=WeirdReader(),
+                short_side=40, crop_size=32, scales=(1.0,), gamma_tau=2,
+                executor="process")

@@ -263,3 +263,20 @@ def test_train_step_consumes_assembled_batch():
     p, m, s, out = step(params, mom, bn, batch, jnp.float32(0.1),
                         jax.random.PRNGKey(2), out_size=16)
     assert np.isfinite(float(out.loss))
+
+
+def test_initialize_warns_when_autodetect_fails(monkeypatch):
+    """A cluster env marker with failed auto-detection must WARN (silent
+    degrade to N independent runs duplicates data and clobbers ckpts)."""
+    import warnings
+    monkeypatch.setenv("SLURM_JOB_ID", "12345")
+
+    def boom(**kw):
+        raise ValueError("could not find coordinator")
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    with pytest.warns(RuntimeWarning, match="auto-detection failed"):
+        multihost_initialize()
+    # explicit arguments must still fail loudly
+    with pytest.raises(ValueError):
+        multihost_initialize(coordinator_address="1.2.3.4:99",
+                             num_processes=2, process_id=0)

@@ -198,3 +198,63 @@ class TestCharadesRecipe:
         out = trainer.eval_loc_epoch(loader)
         assert 0.0 <= out["map"] <= 1.0
         assert np.isfinite(out["loss"])
+
+
+class TestReviewRegressions:
+    """Round-3 review fixes: padded-row masking, precompile fail-fast,
+    profiler flush on short runs."""
+
+    def test_class_eval_ignores_padded_rows(self):
+        """Metrics over a batch with zero-padded invalid rows must equal
+        metrics over the valid rows alone (the multi-host ragged-chunk
+        layout, data/loader.py KineticsEvalLoader docstring)."""
+        trainer = CharadesTrainer(tiny_charades_recipe("class"))
+        rng = np.random.RandomState(0)
+        clips = rng.randint(0, 255, (8, 2, 8, 40, 40, 3), np.uint8)
+        labels = (rng.rand(8, 13) > 0.8).astype(np.float32)
+        ref = trainer.eval_class_epoch([{"clip": clips, "label": labels}])
+        padded = {
+            "clip": np.concatenate([clips, np.zeros_like(clips[:4])]),
+            "label": np.concatenate([labels, np.zeros_like(labels[:4])]),
+            "valid": np.asarray([True] * 8 + [False] * 4),
+        }
+        trainer2 = CharadesTrainer(tiny_charades_recipe("class"))
+        out = trainer2.eval_class_epoch([padded])
+        assert out["map"] == pytest.approx(ref["map"], abs=1e-6)
+        assert out["loss"] == pytest.approx(ref["loss"], rel=1e-5)
+
+    def test_loc_eval_ignores_padded_rows(self):
+        trainer = CharadesTrainer(tiny_charades_recipe("loc"))
+        rng = np.random.RandomState(1)
+        clips = rng.randint(0, 255, (8, 8, 40, 40, 3), np.uint8)
+        labels = (rng.rand(8, 64, 13) > 0.9).astype(np.float32)
+        mask = np.concatenate([np.ones((8, 50), np.float32),
+                               np.zeros((8, 14), np.float32)], 1)
+        ref = trainer.eval_loc_epoch(
+            [{"clip": clips, "label": labels, "mask": mask}])
+        padded = {
+            "clip": np.concatenate([clips, np.zeros_like(clips[:4])]),
+            "label": np.concatenate([labels, np.zeros_like(labels[:4])]),
+            "mask": np.concatenate([mask, np.zeros_like(mask[:4])]),
+            "valid": np.asarray([True] * 8 + [False] * 4),
+        }
+        trainer2 = CharadesTrainer(tiny_charades_recipe("loc"))
+        out = trainer2.eval_loc_epoch([padded])
+        assert out["map"] == pytest.approx(ref["map"], abs=1e-6)
+        assert out["loss"] == pytest.approx(ref["loss"], rel=1e-5)
+
+    def test_precompile_rejects_indivisible_process_count(self, monkeypatch):
+        """Bucket batches that cannot split across hosts must fail BEFORE
+        any compile work, matching the train loader's per-batch check."""
+        trainer = MultigridTrainer(tiny_kinetics_recipe())
+        monkeypatch.setattr(jax, "process_count", lambda: 3)
+        with pytest.raises(ValueError, match="not divisible by 3"):
+            trainer.precompile()
+
+    def test_profiler_stops_on_short_run(self, tmp_path):
+        """A run shorter than profile_steps must still close the trace at
+        exit (otherwise nothing usable is ever written)."""
+        recipe = tiny_kinetics_recipe(out_dir=str(tmp_path),
+                                      profile_steps=100)
+        trainer = run_synthetic(recipe, iterations=2)
+        assert getattr(trainer, "_profiling", False) is False

@@ -125,9 +125,9 @@ def _hosts_needed_v5e8(cores_per_chip: dict, host_cores: int) -> dict:
             "assumed_host_cores": host_cores}
 
 
-def _epoch_rate(samples, schedule_cfg, *, threads, executor, iterations,
-                batch_size):
-    """clips/s of one loader configuration over a schedule replay."""
+def _epoch_rate(samples, schedule_cfg, *, threads, executor, iterations):
+    """clips/s of one loader configuration over a schedule replay (the
+    batch size is whatever ``schedule_cfg`` encodes)."""
     reader = default_reader()
     loader = KineticsTrainLoader(
         samples, MultigridSchedule(schedule_cfg), reader=reader,
@@ -225,11 +225,11 @@ def run_loader_bench(*, iterations: int = 12, threads: int = 0,
         for k in sorted({1, 2, threads}):
             curve[f"threads_{k}"] = round(_epoch_rate(
                 samples, mcfg, threads=k, executor="thread",
-                iterations=it, batch_size=batch_size), 1)
+                iterations=it), 1)
             say(f"# scaling threads={k}: {curve[f'threads_{k}']} clips/s")
         curve["procs_2"] = round(_epoch_rate(
             samples, mcfg, threads=2, executor="process",
-            iterations=it, batch_size=batch_size), 1)
+            iterations=it), 1)
         say(f"# scaling procs=2: {curve['procs_2']} clips/s")
         result["detail"]["scaling"] = curve
 

@@ -38,17 +38,35 @@ from x3d_multigrid_tpu.multigrid.schedule import (
 _PROC_READER = None
 
 
-def _proc_reader_init(kind: str = "default"):
-    """Build this worker process's reader — the SAME decoder family as
-    the parent's (JPEG decoders differ by a few LSBs in IDCT/scaling, so
-    mixing them would break thread-vs-process bit-exactness)."""
+def _reader_spec(reader):
+    """Picklable (kind, kwargs) so worker processes reconstruct the
+    parent's reader WITH its configuration (fast/frame_threads) — not just
+    its family.  Returns None for unknown custom reader types, which the
+    loader rejects for executor='process' rather than silently swapping
+    the decoder."""
+    name = type(reader).__name__
+    if name == "PILReader":
+        return ("pil", {})
+    if name == "NativeReader":
+        return ("native", {"fast": bool(getattr(reader, "_fast", 1)),
+                           "frame_threads": int(getattr(
+                               reader, "_frame_threads", 1))})
+    return None
+
+
+def _proc_reader_init(spec=("native", {})):
+    """Build this worker process's reader — the SAME decoder with the
+    SAME configuration as the parent's (JPEG decoders differ by a few
+    LSBs in IDCT/scaling, so mixing them would break thread-vs-process
+    bit-exactness)."""
     global _PROC_READER
+    kind, kwargs = spec
     if kind == "pil":
         from x3d_multigrid_tpu.data.reader import PILReader
         _PROC_READER = PILReader()
     else:
-        from x3d_multigrid_tpu.data.reader import default_reader
-        _PROC_READER = default_reader()
+        from x3d_multigrid_tpu.data.native import NativeReader
+        _PROC_READER = NativeReader(**kwargs)
 
 
 def _decode_train_clip(reader, sample: VideoSample, plan: IterationPlan,
@@ -163,11 +181,15 @@ class KineticsTrainLoader:
             # process's thread pool can't feed the chips (GIL-free decode
             # normally makes threads enough; this is the pod-scale escape
             # hatch measured in tools/bench_loader.py)
-            kind = "pil" if type(reader).__name__ == "PILReader" \
-                else "default"
+            spec = _reader_spec(reader)
+            if spec is None:
+                raise ValueError(
+                    f"executor='process' cannot reconstruct a "
+                    f"{type(reader).__name__} in worker processes; use "
+                    f"PILReader/NativeReader or executor='thread'")
             self.pool = ProcessPoolExecutor(
                 max_workers=num_threads, initializer=_proc_reader_init,
-                initargs=(kind,))
+                initargs=(spec,))
         elif executor == "thread":
             self.pool = ThreadPoolExecutor(max_workers=num_threads)
         else:

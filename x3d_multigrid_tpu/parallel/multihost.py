@@ -64,12 +64,23 @@ def initialize(coordinator_address: Optional[str] = None,
             num_processes=num_processes, process_id=process_id)
     except RuntimeError:  # already initialized
         pass
-    except ValueError:
+    except ValueError as e:
         # A cluster marker was present but JAX's auto-detection found no
         # coordinator (e.g. a single-host TPU behind a tunnel exporting
-        # pod-style env vars).  Explicit arguments must still fail loudly.
+        # pod-style env vars).  Explicit arguments must still fail loudly;
+        # auto-detection failures must at least WARN — on a real multi-node
+        # launch this degrade means N independent single-host runs that
+        # duplicate data and clobber each other's checkpoints.
         if explicit:
             raise
+        import warnings
+        markers = [v for v in _CLUSTER_ENV_VARS if v in os.environ]
+        warnings.warn(
+            f"jax.distributed.initialize() auto-detection failed ({e}) "
+            f"despite cluster env markers {markers}; continuing as a "
+            f"single process. If this is a multi-node launch, pass "
+            f"coordinator_address/num_processes/process_id explicitly.",
+            RuntimeWarning, stacklevel=2)
 
 
 def process_info() -> Dict[str, int]:

@@ -217,11 +217,15 @@ class CharadesTrainer:
         if jax.process_count() > 1:
             from x3d_multigrid_tpu.parallel import (
                 global_batch_from_local, local_rows)
+            # ragged final chunks: global rows must stay divisible by the
+            # mesh size, so pad the (host-equal) local share to a multiple
+            # of the local device count
+            flat, n_real = pad_to_multiple(flat, jax.local_device_count())
             feed = global_batch_from_local(
                 self.mesh, {"clip": flat})["clip"]
             logits = self.eval_step(self.params, agg, feed,
                                     out_size=self.recipe.crop_size)
-            return local_rows(logits)
+            return local_rows(logits)[:n_real]
         flat, n_real = pad_to_multiple(flat, self.mesh.devices.size)
         logits = self.eval_step(self.params, agg, jnp.asarray(flat),
                                 out_size=self.recipe.crop_size)
@@ -230,7 +234,12 @@ class CharadesTrainer:
     @staticmethod
     def _gather_rows(*arrays):
         """Concatenate per-host eval rows across processes so the APMeter
-        sees the global score set (identity when single-process)."""
+        sees the global score set (identity when single-process).
+
+        This is a COLLECTIVE: every host must call it once per batch with
+        identically-shaped arrays (the loaders pad ragged chunks to equal
+        per-host shares — gather the full padded rows plus the ``valid``
+        mask and filter AFTER, never before)."""
         if jax.process_count() == 1:
             return arrays
         from jax.experimental import multihost_utils
@@ -257,15 +266,17 @@ class CharadesTrainer:
             logits = self._eval_logits(flat)
             probs, max_logits = multiview_max_probs(logits, n)
             valid = np.asarray(batch.get("valid", np.ones(b, bool)))
-            if not valid.any():
-                continue
-            labels = np.asarray(batch["label"])[valid]
-            loss_sum += float(bce_with_logits(
-                jnp.asarray(np.asarray(max_logits)[valid]),
-                jnp.asarray(labels))) * int(valid.sum())
-            loss_n += int(valid.sum())
-            p, l = self._gather_rows(np.asarray(probs)[valid], labels)
-            apm.add(p, l)
+            labels = np.asarray(batch["label"])
+            if valid.any():
+                loss_sum += float(bce_with_logits(
+                    jnp.asarray(np.asarray(max_logits)[valid]),
+                    jnp.asarray(labels[valid]))) * int(valid.sum())
+                loss_n += int(valid.sum())
+            # collective: full padded rows + mask, filter after gathering
+            p, l, v = self._gather_rows(np.asarray(probs), labels, valid)
+            v = v.astype(bool)
+            if v.any():
+                apm.add(p[v], l[v])
         loss_sum, loss_n = all_hosts_sum(loss_sum, loss_n)
         val_loss = loss_sum / max(loss_n, 1)
         m = apm.mean()
@@ -289,20 +300,20 @@ class CharadesTrainer:
             logits = self._eval_logits(clips)
             labels = batch["label"]     # (B, TL, C)
             mask = batch["mask"]        # (B, TL)
-            if not valid.any():
-                continue
-            loss, _ = _charades_loc_loss(
-                jnp.asarray(logits[valid]),
-                {"label": jnp.asarray(labels[valid]),
-                 "mask": jnp.asarray(mask[valid])})
-            loss_sum += float(loss) * int(valid.sum())
-            loss_n += int(valid.sum())
+            if valid.any():
+                loss, _ = _charades_loc_loss(
+                    jnp.asarray(logits[valid]),
+                    {"label": jnp.asarray(labels[valid]),
+                     "mask": jnp.asarray(mask[valid])})
+                loss_sum += float(loss) * int(valid.sum())
+                loss_n += int(valid.sum())
             up = np.asarray(linear_interp_time(jnp.asarray(logits),
                                                labels.shape[1]))
             probs = 1.0 / (1.0 + np.exp(-up)) * mask[..., None]
-            probs, labels, mask = self._gather_rows(
-                probs[valid], labels[valid], mask[valid])
-            for i in range(labels.shape[0]):
+            # collective: full padded rows + mask, filter after gathering
+            probs, labels, mask, gvalid = self._gather_rows(
+                probs, labels, mask, valid)
+            for i in np.flatnonzero(gvalid):
                 t_valid = int(mask[i].sum())
                 apm.add(probs[i, :t_valid], labels[i, :t_valid])
         loss_sum, loss_n = all_hosts_sum(loss_sum, loss_n)
@@ -474,7 +485,12 @@ def run(recipe: CharadesRecipe, *, root: str, anno: str,
                         trainer.save()
                         last_ckpt = trainer.step_count
                 if trainer.group_size > 1:
-                    trainer.flush_group()
+                    pending.extend(o["loss"]
+                                   for o in trainer.flush_group())
+                if pending:  # tail of the epoch's logging interval
+                    logger.log("train", epoch=trainer.epochs,
+                               step=trainer.step_count,
+                               loss=float(jnp.mean(jnp.stack(pending))))
             else:
                 if recipe.task == "loc":
                     trainer.eval_loc_epoch(val_loader)

@@ -399,6 +399,13 @@ class MultigridTrainer:
         apply_warmed = False
         for b in enumerate_buckets(self.mcfg):
             bn_c = init_bn_state(self.cfg, b.bn_splits)
+            # fail fast, before minutes of compiles, with the same
+            # constraint the train loader enforces per batch
+            if b.batch_size % pcount or b.batch_size < pcount:
+                raise ValueError(
+                    f"bucket batch {b.batch_size} not divisible by "
+                    f"{pcount} processes (every multigrid bucket's batch "
+                    f"must split evenly across hosts)")
             local = b.batch_size // pcount  # host-local share
             batch = self._stage({
                 "clip": np.zeros((local, b.frames, c0, c0, 3), np.uint8),
@@ -454,11 +461,16 @@ class MultigridTrainer:
             if jax.process_count() > 1:
                 from x3d_multigrid_tpu.parallel import (
                     global_batch_from_local)
+                # ragged final chunks: keep global rows divisible by the
+                # mesh by padding the (host-equal) local share to the
+                # local device count
+                flat, n_real = pad_to_multiple(
+                    flat, jax.local_device_count())
                 feed = global_batch_from_local(
                     self.mesh, {"clip": flat})["clip"]
                 logits = self.eval_step(self.params, agg_state, feed,
                                         out_size=self.recipe.crop_size)
-                logits = local_rows(logits)   # this host's b*n rows
+                logits = local_rows(logits)[:n_real]  # this host's rows
             else:
                 # ragged final batches must stay shardable over the mesh
                 flat, n_real = pad_to_multiple(flat, self.ndev)
@@ -560,9 +572,12 @@ def _maybe_start_profile(trainer, recipe):
         trainer.logger.log("profile", status=f"unavailable: {e}")
 
 
-def _maybe_stop_profile(trainer, n):
+def _maybe_stop_profile(trainer, n, force: bool = False):
+    """Stop the trace once ``n`` reaches ``profile_steps`` — or
+    unconditionally at run exit (``force``), so a run shorter than the
+    requested window still writes a usable trace."""
     if getattr(trainer, "_profiling", False) \
-            and n >= trainer.recipe.profile_steps:
+            and (force or n >= trainer.recipe.profile_steps):
         trainer._profiling = False
         try:
             jax.profiler.stop_trace()
@@ -625,6 +640,7 @@ def run_synthetic(recipe: KineticsRecipe, *, iterations: int = 12,
             # so the generator must be exhausted, not abandoned
             n += 1
             _maybe_stop_profile(trainer, n)
+    _maybe_stop_profile(trainer, n, force=True)
     if group_size > 1:
         for out in trainer.flush_groups():
             trainer.logger.log(
@@ -724,9 +740,20 @@ def run(recipe: KineticsRecipe, *, train_root: str, train_anno: str,
                     if trainer.step_count % recipe.ckpt_every_steps == 0:
                         trainer.save()
                 if trainer.group_size > 1:
-                    trainer.flush_groups()
+                    for out in trainer.flush_groups():
+                        pending.append((out["loss"], out["correct"],
+                                        out["batch_size"]))
+                if pending:  # tail of the epoch's logging interval
+                    losses = [float(l) for l, _, _ in pending]
+                    corr = sum(float(c) for _, c, _ in pending)
+                    n = sum(b for _, _, b in pending)
+                    logger.log("train", epoch=trainer.epochs,
+                               step=trainer.step_count,
+                               loss=sum(losses) / max(len(losses), 1),
+                               top1=corr / max(n, 1))
             else:
                 trainer.eval_epoch(val_loader)
+    _maybe_stop_profile(trainer, trainer.iterations, force=True)
     return trainer
 
 
