@@ -86,3 +86,28 @@ def kinetics_batches(pi, pc):
 def charades_batches(pi, pc):
     clips, labels = _cha_global()
     return _host_chunks(clips, labels, CHA_CHUNK, pi, pc)
+
+
+def run_train_steps(n_steps: int = 4):
+    """Drive real train steps through the trainer's multi-host staging
+    path (host_shard slices -> global_batch_from_local -> shard_map psum)
+    and fingerprint the result.  Identical across 1-process and 2-process
+    runs: same global batches, same mesh, same SPMD program."""
+    import jax
+    from x3d_multigrid_tpu.parallel import host_shard
+    trainer = kinetics_trainer()
+    rng = np.random.RandomState(11)
+    pi, pc = jax.process_index(), jax.process_count()
+    losses = []
+    for plan in trainer.schedule.epoch(n_steps):
+        b, t, s = plan.batch_size, plan.frames, plan.crop
+        clip = rng.randint(0, 255, (b, t, s, s, 3)).astype(np.uint8)
+        flip = rng.rand(b) < 0.5
+        label = rng.randint(0, N_CLASSES, (b,)).astype(np.int32)
+        sl = host_shard(b, pi, pc)
+        out = trainer.train_batch({"clip": clip[sl], "flip": flip[sl],
+                                   "label": label[sl], "plan": plan})
+        losses.append(float(out["loss"]))
+    checksum = float(sum(np.abs(np.asarray(l)).sum()
+                         for l in jax.tree.leaves(trainer.params)))
+    return {"train_losses": losses, "param_checksum": checksum}

@@ -35,10 +35,14 @@ def main():
     import numpy as np
     from tests.mp_eval_case import (
         kinetics_trainer, charades_trainer, kinetics_batches,
-        charades_batches,
+        charades_batches, run_train_steps,
     )
 
     result = {}
+
+    # -- Training: host_shard slices -> global assembly -> psum'd SGD
+    # steps spanning a multigrid bucket or two. -----------------------------
+    result.update(run_train_steps())
 
     # -- Kinetics 3-view eval: 9 videos in global chunks of 8 -> final
     # chunk has 1 video; host 1's share is ALL padding. --------------------

@@ -61,6 +61,7 @@ def test_two_process_eval_matches_single_process(tmp_path):
                                                 rel=1e-6), key
 
     # single-process reference on this process's 8 virtual devices
+    ref_train = case.run_train_steps()
     ktr = case.kinetics_trainer()
     want_top1 = float(ktr.eval_epoch(case.kinetics_batches(0, 1)))
     ctr = case.charades_trainer()
@@ -72,3 +73,15 @@ def test_two_process_eval_matches_single_process(tmp_path):
         float(want["map"]), abs=1e-6)
     assert results[0]["charades_loss"] == pytest.approx(
         float(want["loss"]), rel=1e-5)
+    # step 0 runs on identical params and an identically-assembled global
+    # batch -> must match to float precision; later steps see gradients
+    # reduced by a DIFFERENT collective implementation (cross-process
+    # Gloo ring vs in-process reduction), so the trajectory is only
+    # approximately equal (measured divergence ~0.7% by step 3 on this
+    # deliberately BN-sensitive tiny model)
+    assert results[0]["train_losses"][0] == pytest.approx(
+        ref_train["train_losses"][0], rel=1e-6)
+    np.testing.assert_allclose(results[0]["train_losses"],
+                               ref_train["train_losses"], rtol=5e-2)
+    assert results[0]["param_checksum"] == pytest.approx(
+        ref_train["param_checksum"], rel=2e-2)
