@@ -1,8 +1,10 @@
 """ctypes bindings for the native C++ frame decoder (csrc/jpeg_decode.cc).
 
-Build once with ``make -C csrc``; :func:`default_reader` in data/reader.py
-picks this up automatically and falls back to PIL when the library is
-missing.  Decode contract matches PILReader exactly (short-side resize ->
+Builds itself on first use (``make -C csrc``, file-locked against racing
+processes) when the .so is absent — containers are ephemeral, so a fresh
+checkout must not require a manual build step.  :func:`default_reader` in
+data/reader.py picks this up automatically and falls back to PIL when the
+library cannot be built.  Decode contract matches PILReader exactly (short-side resize ->
 square crop -> resize to canonical) so the two backends are interchangeable
 and cross-validated in tests.
 """
@@ -24,7 +26,34 @@ _LIB_PATHS = [
 ]
 
 
-def _load_lib():
+def _try_build() -> bool:
+    """Best-effort self-bootstrap: compile csrc/ if the .so is missing.
+
+    Containers are ephemeral — the repo persists via git but build
+    artifacts do not, so first use after a fresh checkout would otherwise
+    require a manual ``make -C csrc``.  A file lock serializes concurrent
+    builders (e.g. process-executor workers starting together).
+    """
+    csrc = os.path.abspath(
+        os.path.join(os.path.dirname(__file__), "..", "..", "csrc"))
+    if not os.path.exists(os.path.join(csrc, "Makefile")):
+        return False
+    import fcntl
+    import subprocess
+    lock_path = os.path.join(csrc, ".build_lock")
+    try:
+        with open(lock_path, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)  # waits for a racing builder
+            if any(os.path.exists(os.path.abspath(p)) for p in _LIB_PATHS):
+                return True  # someone else finished the build
+            subprocess.run(["make", "-C", csrc], check=True,
+                           capture_output=True, timeout=300)
+        return True
+    except Exception:
+        return False
+
+
+def _load_lib(_retry: bool = True):
     for p in _LIB_PATHS:
         p = os.path.abspath(p)
         if os.path.exists(p):
@@ -46,6 +75,8 @@ def _load_lib():
                     ctypes.c_int, ctypes.c_int, ctypes.c_int,
                     ctypes.c_void_p, ctypes.POINTER(ctypes.c_int)]
             return lib
+    if _retry and _try_build():
+        return _load_lib(_retry=False)
     raise FileNotFoundError(
         "libx3djpeg.so not built; run `make -C csrc` "
         f"(searched {_LIB_PATHS})")
