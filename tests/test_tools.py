@@ -1,0 +1,33 @@
+"""Tests for the measurement/summary tools that have CPU-runnable logic."""
+
+import jax
+import numpy as np
+
+from tools.model_summary import summarize
+from x3d_multigrid_tpu.models import x3d
+
+
+class TestModelSummary:
+    def test_m_matches_reference_param_count(self):
+        # 3,794,322 is the parameter count of the reference torch model
+        # (M, 400 classes) — the .pt converter maps keys 1:1
+        # (tests/test_reference_parity.py), so the counts must agree.
+        cfg = x3d.x3d_config("M", n_classes=400)
+        rows, (params, gflops) = summarize(cfg)
+        assert params == 3_794_322
+        assert abs(sum(r[1] for r in rows) - params) == 0
+        assert 5.0 < gflops < 15.0  # 16x224^2 forward, sanity band
+
+    def test_totals_match_real_init(self):
+        cfg = x3d.x3d_config("S", n_classes=11, task="loc",
+                             blocks_override=(1, 1, 2, 1))
+        _, (params, _) = summarize(cfg, batch=2, frames=4, crop=64)
+        real = x3d.init_params(jax.random.PRNGKey(0), cfg)
+        real_n = sum(int(np.prod(l.shape))
+                     for l in jax.tree_util.tree_leaves(real))
+        assert params == real_n
+
+    def test_loc_head_shape(self):
+        cfg = x3d.x3d_config("M", n_classes=157, task="loc")
+        rows, _ = summarize(cfg, batch=3, frames=8, crop=160)
+        assert rows[-1][2] == (3, 8, 157)
