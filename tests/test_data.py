@@ -232,6 +232,58 @@ class TestCharades:
         np.testing.assert_array_equal(out["mask"][0, 20:], 0)
 
 
+_REAL_CHARADES = "/root/reference/data/charades.json"
+
+
+@pytest.mark.skipif(not os.path.exists(_REAL_CHARADES),
+                    reason="reference charades.json not present")
+class TestCharadesRealAnnotations:
+    """Parse the ACTUAL 9,848-video annotation file the reference ships
+    (not a synthetic fixture) — the format our scanner must accept in
+    production (reference charades.py:68-104)."""
+
+    def test_full_file_parses_with_expected_splits(self, tmp_path):
+        import json
+        with open(_REAL_CHARADES) as f:
+            data = json.load(f)
+        assert len(data) == 9848  # SURVEY §2 #13
+        subsets = {}
+        for m in data.values():
+            subsets[m["subset"]] = subsets.get(m["subset"], 0) + 1
+        assert subsets == {"training": 7985, "testing": 1863}
+        # scan over the real file with no frame dirs on disk -> empty, no
+        # parse errors on any of the 9,848 entries
+        assert ch.scan_charades(_REAL_CHARADES, "training",
+                                str(tmp_path)) == []
+
+    def test_scan_and_label_matrix_on_real_video(self, tmp_path):
+        import json
+        with open(_REAL_CHARADES) as f:
+            data = json.load(f)
+        # first training video WITH actions (some entries have none)
+        vid, meta = next((k, m) for k, m in data.items()
+                         if m["subset"] == "training" and m["actions"])
+        n_frames = 170
+        vdir = tmp_path / vid
+        vdir.mkdir()
+        for i in range(1, n_frames + 1):
+            (vdir / f"{vid}-{str(i).zfill(6)}.jpg").touch()
+        vids = ch.scan_charades(_REAL_CHARADES, "training", str(tmp_path))
+        assert len(vids) == 1 and vids[0].vid == vid
+        v = vids[0]
+        assert v.duration == float(meta["duration"])
+        assert v.n_frames == n_frames
+        assert v.actions == [(int(a[0]), float(a[1]), float(a[2]))
+                             for a in meta["actions"]]
+        lab = ch.label_matrix(v)
+        assert lab.shape == (n_frames, 157)
+        # every annotated interval inside the duration lights frames
+        fps = n_frames / v.duration
+        for cls, start, end in v.actions:
+            if end - start > 2.0 / fps and start < v.duration:
+                assert lab[:, cls].any(), (cls, start, end)
+
+
 class TestDevicePreprocess:
     def test_train_preprocess_normalize_and_flip(self):
         rng = np.random.RandomState(0)
