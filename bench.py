@@ -161,9 +161,15 @@ def main():
                     help="append the host input-pipeline section AFTER "
                          "the headline JSON line")
     ap.add_argument("--budget", type=float,
-                    default=float(os.environ.get("BENCH_BUDGET_S", 2100)),
+                    default=float(os.environ.get("BENCH_BUDGET_S", 1450)),
                     help="wall-clock budget (s) for the bucket loop; "
-                         "remaining buckets are estimated, not measured")
+                         "remaining buckets are estimated, not measured. "
+                         "Default 1450 s: the driver's observed kill window "
+                         "is <= ~1800 s (round-2 rc=124 died ~3 buckets into "
+                         "a cold run), so the JSON line must land before "
+                         "that even when every compile misses the committed "
+                         ".jax_cache (warm, the full 6-bucket loop runs in "
+                         "well under the budget)")
     ap.add_argument("--tiny", action="store_true",
                     help="flow test: tiny model/geometry so the whole "
                          "bench (budget logic, JSON emission) runs in ~1 "
