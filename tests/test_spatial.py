@@ -83,6 +83,75 @@ class TestShardedEval:
         want = _reference_logits(cfg, params, bn, ref_clip)
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
+    def test_serving_engine_sharded_classify(self):
+        """InferenceEngine(mesh=...) shards classify over (data, spatial)
+        and matches the unsharded engine exactly (same BN folding both
+        sides, fp32 compute)."""
+        from x3d_multigrid_tpu.serving import InferenceEngine
+        cfg, params, bn = _tiny_model("class")
+        u8 = np.random.RandomState(0).randint(
+            0, 256, (4, 2, 4, 32, 32, 3), np.uint8)
+
+        plain = InferenceEngine(params, bn, cfg, crop_size=32,
+                                compute_dtype=None)
+        want_probs, want_preds = plain.classify(u8)
+
+        mesh = data_spatial_mesh(2, 4)
+        sharded = InferenceEngine(params, bn, cfg, crop_size=32,
+                                  compute_dtype=None, mesh=mesh,
+                                  shard_dim="H")
+        got_probs, got_preds = sharded.classify(u8)
+        np.testing.assert_allclose(got_probs, want_probs,
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_array_equal(got_preds, want_preds)
+
+    def test_serving_engine_sequence_parallel_localize(self):
+        """Batch-1 whole-video localization, frames sharded over all 8
+        devices through the serving engine."""
+        from x3d_multigrid_tpu.serving import InferenceEngine
+        cfg, params, bn = _tiny_model("loc")
+        u8 = np.random.RandomState(1).randint(
+            0, 256, (1, 16, 32, 32, 3), np.uint8)
+
+        plain = InferenceEngine(params, bn, cfg, crop_size=32,
+                                compute_dtype=None)
+        want = plain.localize(u8, out_len=37)
+
+        mesh = data_spatial_mesh(1, 8)
+        sharded = InferenceEngine(params, bn, cfg, crop_size=32,
+                                  compute_dtype=None, mesh=mesh,
+                                  shard_dim="T")
+        got = sharded.localize(u8, out_len=37)
+        assert got.shape == (1, 37, cfg.n_classes)
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    def test_serving_engine_export_ignores_mesh(self):
+        """export_serialized from a mesh-backed engine produces a
+        topology-free blob that reloads and matches."""
+        from x3d_multigrid_tpu.serving import (
+            InferenceEngine, load_serialized,
+        )
+        cfg, params, bn = _tiny_model("class")
+        mesh = data_spatial_mesh(2, 4)
+        eng = InferenceEngine(params, bn, cfg, crop_size=32,
+                              compute_dtype=None, mesh=mesh)
+        u8 = np.random.RandomState(2).randint(
+            0, 256, (2, 1, 4, 32, 32, 3), np.uint8)
+        blob = eng.export_serialized(2, 4, 32, n_views=1, platforms=("cpu",))
+        probs, preds = load_serialized(blob)(u8)
+        want_probs, want_preds = eng.classify(u8)
+        np.testing.assert_allclose(np.asarray(probs), want_probs,
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_array_equal(np.asarray(preds), want_preds)
+
+    def test_serving_engine_shard_dim_validation(self):
+        from x3d_multigrid_tpu.serving import InferenceEngine
+        cfg, params, bn = _tiny_model("class")
+        mesh = data_spatial_mesh(2, 2)
+        with pytest.raises(ValueError, match="shard_dim"):
+            InferenceEngine(params, bn, cfg, crop_size=32, mesh=mesh,
+                            shard_dim="W")
+
     def test_validation(self):
         cfg, _, _ = _tiny_model("class")
         with pytest.raises(ValueError, match="devices"):

@@ -9,12 +9,12 @@ counterpart of the reference's ad-hoc eval loops.
     probs, preds = engine.classify(clips_u8)   # (B, n, T, R, R, 3) uint8
 """
 
-import functools
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from x3d_multigrid_tpu.models.x3d import X3DConfig, CROP_SIZE
 from x3d_multigrid_tpu.models import aggregate_all_subbn
@@ -31,7 +31,16 @@ class InferenceEngine:
 
     def __init__(self, params, bn_state, cfg: X3DConfig, *,
                  crop_size: Optional[int] = None, compute_dtype=jnp.bfloat16,
-                 mean=KINETICS_MEAN, std=KINETICS_STD):
+                 mean=KINETICS_MEAN, std=KINETICS_STD,
+                 mesh=None, shard_dim: str = "H"):
+        """``mesh``: optional 2-D ``(data, spatial)`` mesh from
+        :func:`x3d_multigrid_tpu.parallel.data_spatial_mesh`.  When given,
+        the clip batch is sharded over ``data`` and each clip's
+        ``shard_dim`` axis (``"H"`` rows or ``"T"`` frames) over
+        ``spatial`` — XLA SPMD derives the conv halo exchanges, so one
+        whole-video localization call scales across chips (batch DP
+        cannot do that).  The batch must divide the ``data`` axis and the
+        sharded clip extent the ``spatial`` axis."""
         self.cfg = cfg
         self.crop_size = crop_size or CROP_SIZE[cfg.version]
         folded = fold_bn(params, aggregate_all_subbn(bn_state))
@@ -44,7 +53,6 @@ class InferenceEngine:
         self._std = jnp.asarray(std, jnp.float32)
         self._dtype = compute_dtype
 
-        @functools.partial(jax.jit, static_argnames=("n_views",))
         def _classify(folded_params, clips_u8, n_views):
             b = clips_u8.shape[0]
             flat = clips_u8.reshape((b * n_views,) + clips_u8.shape[2:])
@@ -57,9 +65,6 @@ class InferenceEngine:
             probs = jax.nn.softmax(logits, axis=-1).mean(axis=1)
             return probs, jnp.argmax(probs, axis=-1)
 
-        self._fn = _classify
-
-        @functools.partial(jax.jit, static_argnames=("out_len",))
         def _localize(folded_params, clips_u8, out_len):
             x = eval_preprocess_impl(clips_u8, self._mean, self._std,
                                      out_size=self.crop_size)
@@ -69,7 +74,36 @@ class InferenceEngine:
             logits = linear_interp_time(logits.astype(jnp.float32), out_len)
             return jax.nn.sigmoid(logits)
 
-        self._loc_fn = _localize
+        # Unsharded impls kept for export_serialized (a serialized blob
+        # must not bake in one serving topology's mesh).
+        self._classify_impl = _classify
+        self._loc_impl = _localize
+
+        if mesh is None:
+            self._fn = jax.jit(_classify, static_argnames=("n_views",))
+            self._loc_fn = jax.jit(_localize, static_argnames=("out_len",))
+        else:
+            # clip layouts: classify (B, views, T, H, W, C),
+            #               localize (B, T, H, W, C)
+            from x3d_multigrid_tpu.parallel.mesh import DATA_AXIS
+            from x3d_multigrid_tpu.parallel.spatial import SPATIAL_AXIS
+            d, s = DATA_AXIS, SPATIAL_AXIS
+            cls_specs = {"H": P(d, None, None, s), "T": P(d, None, s)}
+            loc_specs = {"H": P(d, None, s), "T": P(d, s)}
+            if shard_dim not in cls_specs:
+                raise ValueError(f"shard_dim must be one of "
+                                 f"{set(cls_specs)}, got {shard_dim!r}")
+            rep = NamedSharding(mesh, P())
+            rows = NamedSharding(mesh, P(d))
+            # in_shardings forbids kwargs: static args are positional.
+            self._fn = jax.jit(
+                _classify, static_argnums=(2,),
+                in_shardings=(rep, NamedSharding(mesh, cls_specs[shard_dim])),
+                out_shardings=(rows, rows))
+            self._loc_fn = jax.jit(
+                _localize, static_argnums=(2,),
+                in_shardings=(rep, NamedSharding(mesh, loc_specs[shard_dim])),
+                out_shardings=rows)
 
     @classmethod
     def from_checkpoint(cls, path: str, cfg: X3DConfig, **kw):
@@ -131,14 +165,15 @@ class InferenceEngine:
         from jax import export as jax_export
         if self.cfg.task == "class":
             fn = jax.jit(
-                lambda clips: self._fn(self._folded, clips, n_views))
+                lambda clips: self._classify_impl(self._folded, clips,
+                                                  n_views))
             spec = jax.ShapeDtypeStruct(
                 (batch_size, n_views, t, in_size, in_size, 3), jnp.uint8)
         else:
             if out_len is None:
                 raise ValueError("out_len is required for task='loc'")
             fn = jax.jit(
-                lambda clips: self._loc_fn(self._folded, clips, out_len))
+                lambda clips: self._loc_impl(self._folded, clips, out_len))
             spec = jax.ShapeDtypeStruct(
                 (batch_size, t, in_size, in_size, 3), jnp.uint8)
         return bytes(jax_export.export(fn, platforms=list(platforms))(
