@@ -76,6 +76,33 @@ class TestConv3d:
         np.testing.assert_allclose(out, _from_torch_nchw(ref),
                                    rtol=1e-4, atol=1e-4)
 
+    @pytest.mark.parametrize("stride", [1, 2])
+    def test_depthwise_dense_diag_matches_xla(self, stride):
+        """dense_diag (diagonal-embedded MXU formulation) must be exact vs
+        the grouped conv — fwd and both gradients."""
+        import importlib
+        conv_mod = importlib.import_module("x3d_multigrid_tpu.ops.conv3d")
+        rng = np.random.RandomState(7)
+        c = 6
+        x = jnp.asarray(rng.randn(2, 4, 9, 9, c).astype(np.float32))
+        w = jnp.asarray(rng.randn(3, 3, 3, 1, c).astype(np.float32))
+
+        def loss(xx, ww):
+            return jnp.sum(jnp.sin(depthwise_conv3d(
+                xx, ww, spatial_stride=stride)))
+
+        ref_out = depthwise_conv3d(x, w, spatial_stride=stride)
+        ref_gx, ref_gw = jax.grad(loss, argnums=(0, 1))(x, w)
+        conv_mod.set_dw_impl("dense_diag")
+        try:
+            out = depthwise_conv3d(x, w, spatial_stride=stride)
+            gx, gw = jax.grad(loss, argnums=(0, 1))(x, w)
+        finally:
+            conv_mod.set_dw_impl("xla")
+        np.testing.assert_allclose(out, ref_out, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(gx, ref_gx, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(gw, ref_gw, rtol=1e-5, atol=1e-4)
+
     def test_temporal_depthwise_matches_torch(self):
         rng = np.random.RandomState(2)
         c = 5

@@ -69,7 +69,7 @@ def bench_dw(iters, dtype):
             rng.randn(3, 3, 3, 1, c).astype(np.float32)).astype(dtype)
         print(f"# dw 3x3x3 s1 {shape} {jnp.dtype(dtype).name}", flush=True)
 
-        for impl in ("xla", "pallas_nc", "pallas_packed"):
+        for impl in ("xla", "dense_diag", "pallas_nc", "pallas_packed"):
             conv_mod.set_dw_impl(impl)
 
             def fwd_step(xx):

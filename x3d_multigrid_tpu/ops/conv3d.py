@@ -26,6 +26,12 @@ DIMSPEC = ("NDHWC", "DHWIO", "NDHWC")
 
 # Depthwise 3x3x3 implementation selector:
 #   "xla"           — lax.conv_general_dilated (feature_group_count=C).
+#   "dense_diag"    — the depthwise kernel embedded on the diagonal of a
+#                     dense (kd,kh,kw,C,C) kernel, run as a groups=1 conv:
+#                     trades C x wasted FLOPs for moving the op from the
+#                     VPU (27 FMAs/element, the dw floor) onto the
+#                     otherwise-idle MXU.  Gradients flow through the
+#                     diagonal embedding, so dk is extracted exactly.
 #   "pallas_packed" — free-offset Pallas kernel, batch-packed lanes
 #                     (ops/pallas/dw_conv3d_free.py); TPU only, stride-1
 #                     SAME blocks only (others fall back to XLA).
@@ -99,6 +105,18 @@ def depthwise_conv3d(x, w, *, spatial_stride=1, padding=(1, 1, 1)):
     temporal stride always 1, symmetric padding.  ``w`` is
     ``(kd, kh, kw, 1, C)``.
     """
+    if DW_IMPL == "dense_diag":
+        c = x.shape[-1]
+        # (kd,kh,kw,1,C) -> (kd,kh,kw,C,C) with the per-channel taps on
+        # the diagonal; autodiff through the embedding extracts the
+        # diagonal of the dense dk, so gradients are exact.
+        w_dense = w[:, :, :, 0, :][:, :, :, None, :] * jnp.eye(c, dtype=w.dtype)[None, None, None]
+        return conv3d(
+            x, w_dense,
+            stride=(1, spatial_stride, spatial_stride),
+            padding=padding,
+            groups=1,
+        )
     if DW_IMPL != "xla" and _pallas_dw_ok(x, w, spatial_stride, padding):
         from x3d_multigrid_tpu.ops.pallas.dw_conv3d_free import (
             dw_conv3d_free,
