@@ -60,7 +60,8 @@ def _force(tree):
     float(jnp.sum(leaves[0].astype(jnp.float32)))
 
 
-def bench_dw(iters, dtype):
+def bench_dw(iters, dtype, impls=None):
+    impls = impls or ("xla", "dense_diag", "pallas_nc", "pallas_packed")
     rng = np.random.RandomState(0)
     for shape in STAGE_SHAPES:
         n, t, h, w, c = shape
@@ -69,7 +70,7 @@ def bench_dw(iters, dtype):
             rng.randn(3, 3, 3, 1, c).astype(np.float32)).astype(dtype)
         print(f"# dw 3x3x3 s1 {shape} {jnp.dtype(dtype).name}", flush=True)
 
-        for impl in ("xla", "dense_diag", "pallas_nc", "pallas_packed"):
+        for impl in impls:
             conv_mod.set_dw_impl(impl)
 
             def fwd_step(xx):
@@ -183,11 +184,15 @@ def main():
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
     ap.add_argument("--section", default="all",
                     choices=["all", "dw", "subbn", "step"])
+    ap.add_argument("--impls", default=None,
+                    help="comma-separated dw impls to bench "
+                         "(default: all four)")
     args = ap.parse_args()
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
 
     if args.section in ("all", "dw"):
-        bench_dw(args.iters, dtype)
+        bench_dw(args.iters, dtype,
+                 impls=tuple(args.impls.split(",")) if args.impls else None)
     if args.section in ("all", "subbn"):
         bench_subbn(args.iters, dtype)
     if args.section in ("all", "step"):
