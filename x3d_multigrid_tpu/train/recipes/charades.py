@@ -501,16 +501,21 @@ def run(recipe: CharadesRecipe, *, root: str, anno: str,
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--task", default="class", choices=["class", "loc"])
+    ap.add_argument("--config", help="JSON file of CharadesRecipe fields "
+                    "(defaults < config < explicit flags)")
+    ap.add_argument("--dump-config", metavar="PATH",
+                    help="write the resolved recipe as JSON ('-' = stdout) "
+                         "and exit")
+    ap.add_argument("--task", default=None, choices=["class", "loc"])
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--iterations", type=int, default=4)
     ap.add_argument("--root")
     ap.add_argument("--anno")
     ap.add_argument("--pretrained")
     ap.add_argument("--batch-size", type=int, default=None)
-    ap.add_argument("--out-dir", default="runs/charades")
-    ap.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
-    ap.add_argument("--ckpt-backend", default="npz",
+    ap.add_argument("--out-dir", default=None)
+    ap.add_argument("--dtype", default=None, choices=["bf16", "fp32"])
+    ap.add_argument("--ckpt-backend", default=None,
                     choices=["npz", "orbax"])
     ap.add_argument("--resume",
                     help=".npz checkpoint or orbax directory")
@@ -521,10 +526,11 @@ def main():
                          "process only)")
     args = ap.parse_args()
 
+    from x3d_multigrid_tpu.utils.config import make_recipe, save_recipe
+
     kw = dict(task=args.task, out_dir=args.out_dir,
-              compute_dtype=args.dtype, ckpt_backend=args.ckpt_backend)
-    if args.batch_size:
-        kw["batch_size"] = args.batch_size
+              compute_dtype=args.dtype, ckpt_backend=args.ckpt_backend,
+              batch_size=args.batch_size or None)
     if args.tiny:
         kw.update(
             frames=16, gamma_tau=2, crop_size_override=32, short_side=40,
@@ -532,8 +538,12 @@ def main():
                 blocks_override=(1, 1, 1, 1),
                 inplanes_override=((12, 8), (16, 8), (24, 16), (32, 16)),
                 fc1_dim=32))
-        kw.setdefault("batch_size", 4)
-    recipe = CharadesRecipe(**kw)
+        if kw["batch_size"] is None:
+            kw["batch_size"] = 4
+    recipe = make_recipe(CharadesRecipe, args.config, **kw)
+    if args.dump_config:
+        save_recipe(recipe, args.dump_config)
+        return
 
     if args.synthetic:
         run_synthetic(recipe, iterations=args.iterations,

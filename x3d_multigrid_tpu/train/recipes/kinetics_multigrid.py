@@ -759,20 +759,25 @@ def run(recipe: KineticsRecipe, *, train_root: str, train_anno: str,
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--config", help="JSON file of KineticsRecipe fields "
+                    "(defaults < config < explicit flags)")
+    ap.add_argument("--dump-config", metavar="PATH",
+                    help="write the resolved recipe as JSON ('-' = stdout) "
+                         "and exit")
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--iterations", type=int, default=12)
-    ap.add_argument("--version", default="M")
+    ap.add_argument("--version", default=None)
     ap.add_argument("--batch-size", type=int, default=None)
-    ap.add_argument("--dataset-size", type=int, default=220000)
-    ap.add_argument("--max-epochs", type=int, default=120)
+    ap.add_argument("--dataset-size", type=int, default=None)
+    ap.add_argument("--max-epochs", type=int, default=None)
     ap.add_argument("--train-root")
     ap.add_argument("--train-anno")
     ap.add_argument("--val-root")
     ap.add_argument("--val-anno")
     ap.add_argument("--labels")
     ap.add_argument("--resume")
-    ap.add_argument("--out-dir", default="runs/kinetics_multigrid")
-    ap.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
+    ap.add_argument("--out-dir", default=None)
+    ap.add_argument("--dtype", default=None, choices=["bf16", "fp32"])
     ap.add_argument("--tiny", action="store_true",
                     help="tiny model + geometry for smoke runs")
     ap.add_argument("--remat", action="store_true",
@@ -780,9 +785,9 @@ def main():
     ap.add_argument("--group-size", type=int, default=1,
                     help="scan this many same-bucket iterations per "
                          "dispatch (amortizes host dispatch latency)")
-    ap.add_argument("--ckpt-backend", default="npz",
+    ap.add_argument("--ckpt-backend", default=None,
                     choices=["npz", "orbax"])
-    ap.add_argument("--num-steps-per-update", type=int, default=1,
+    ap.add_argument("--num-steps-per-update", type=int, default=None,
                     help="gradient-accumulation micro-steps per optimizer "
                          "update (reference num_steps_per_update)")
     ap.add_argument("--warmup-steps", type=int, default=None,
@@ -795,7 +800,7 @@ def main():
                     help="generate synthetic batches on-device (for "
                          "record runs on remote-tunneled TPUs where host "
                          "staging of full batches is impractical)")
-    ap.add_argument("--profile-steps", type=int, default=0,
+    ap.add_argument("--profile-steps", type=int, default=None,
                     help="capture a jax.profiler trace of the first N "
                          "train iterations into OUT_DIR/profile")
     ap.add_argument("--n-classes", type=int, default=None,
@@ -804,18 +809,18 @@ def main():
                          "directory, e.g. a smoke-test dataset)")
     args = ap.parse_args()
 
+    from x3d_multigrid_tpu.utils.config import make_recipe, save_recipe
+
     kw = dict(version=args.version, max_epochs=args.max_epochs,
               dataset_size=args.dataset_size, out_dir=args.out_dir,
-              compute_dtype=args.dtype, remat=args.remat,
+              compute_dtype=args.dtype,
               ckpt_backend=args.ckpt_backend,
               num_steps_per_update=args.num_steps_per_update,
-              profile_steps=args.profile_steps)
-    if args.n_classes is not None:
-        kw["n_classes"] = args.n_classes
-    if args.warmup_steps is not None:
-        kw["warmup_steps"] = args.warmup_steps
-    if args.batch_size:
-        kw["batch_size"] = args.batch_size
+              profile_steps=args.profile_steps,
+              n_classes=args.n_classes, warmup_steps=args.warmup_steps,
+              batch_size=args.batch_size or None)
+    if args.remat:  # store_true: absent != explicit False
+        kw["remat"] = True
     if args.tiny:
         kw.update(
             frames=16, crop_size_override=32, gamma_tau_override=2,
@@ -825,8 +830,12 @@ def main():
                 inplanes_override=((12, 8), (16, 8), (24, 16), (32, 16)),
                 fc1_dim=32),
         )
-        kw.setdefault("batch_size", 8)
-    recipe = KineticsRecipe(**kw)
+        if kw["batch_size"] is None:
+            kw["batch_size"] = 8
+    recipe = make_recipe(KineticsRecipe, args.config, **kw)
+    if args.dump_config:
+        save_recipe(recipe, args.dump_config)
+        return
 
     if args.synthetic:
         logger = MetricLogger(os.path.join(recipe.out_dir,
