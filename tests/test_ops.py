@@ -103,6 +103,32 @@ class TestConv3d:
         np.testing.assert_allclose(gx, ref_gx, rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(gw, ref_gw, rtol=1e-5, atol=1e-4)
 
+    def test_depthwise_auto_policy(self):
+        """'auto' routes thin channels (C <= DENSE_DIAG_MAX_C) through
+        dense_diag and wide channels through the grouped XLA conv; both
+        stay exact vs the grouped conv."""
+        import importlib
+        conv_mod = importlib.import_module("x3d_multigrid_tpu.ops.conv3d")
+        rng = np.random.RandomState(9)
+        for c, thin in ((4, True), (12, False)):
+            x = jnp.asarray(rng.randn(1, 3, 7, 7, c).astype(np.float32))
+            w = jnp.asarray(rng.randn(3, 3, 3, 1, c).astype(np.float32))
+            ref = depthwise_conv3d(x, w)
+            conv_mod.set_dw_impl("auto", dense_diag_max_c=8)
+            try:
+                # dispatch check: the dense path runs a non-grouped conv
+                # over a (C, C) kernel, visible in the jaxpr
+                import re
+                jaxpr = str(jax.make_jaxpr(
+                    lambda a, b: depthwise_conv3d(a, b))(x, w))
+                groups = re.search(r"feature_group_count=(\d+)", jaxpr)
+                takes_dense = groups is not None and groups.group(1) == "1"
+                assert takes_dense == thin, (c, jaxpr)
+                out = depthwise_conv3d(x, w)
+            finally:
+                conv_mod.set_dw_impl("xla", dense_diag_max_c=54)
+            np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
     def test_temporal_depthwise_matches_torch(self):
         rng = np.random.RandomState(2)
         c = 5

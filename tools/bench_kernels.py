@@ -120,7 +120,7 @@ def bench_subbn(iters, dtype):
             _chain_time(fwdbwd_step, x0, iters, f"{mode} fwd+bwd")
 
 
-def bench_full_step(steps, dtype_name):
+def bench_full_step(steps, dtype_name, combos=None):
     """Full train step (fine bucket) across impl combos via make_train_loop."""
     from x3d_multigrid_tpu.models import (
         x3d_config, init_params, init_bn_state,
@@ -148,7 +148,7 @@ def bench_full_step(steps, dtype_name):
     prng = jax.random.PRNGKey(42)
     lr = jnp.float32(0.1)
 
-    combos = [("lanes", "xla"), ("cvjp", "xla")]
+    combos = combos or [("lanes", "xla"), ("cvjp", "xla")]
     print(f"# full step bucket (128,8,224,4) {dtype_name}", flush=True)
     for bn_mode, dw_mode in combos:
         subbn_mod.set_fused_train(bn_mode)
@@ -187,6 +187,9 @@ def main():
     ap.add_argument("--impls", default=None,
                     help="comma-separated dw impls to bench "
                          "(default: all four)")
+    ap.add_argument("--step-dw", default=None,
+                    help="comma-separated dw impls for the full-step "
+                         "section (default: xla with both bn modes)")
     args = ap.parse_args()
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
 
@@ -196,7 +199,10 @@ def main():
     if args.section in ("all", "subbn"):
         bench_subbn(args.iters, dtype)
     if args.section in ("all", "step"):
-        bench_full_step(args.steps, args.dtype)
+        bench_full_step(
+            args.steps, args.dtype,
+            combos=[("lanes", d) for d in args.step_dw.split(",")]
+            if args.step_dw else None)
 
 
 if __name__ == "__main__":

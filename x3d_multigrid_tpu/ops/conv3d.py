@@ -32,18 +32,30 @@ DIMSPEC = ("NDHWC", "DHWIO", "NDHWC")
 #                     VPU (27 FMAs/element, the dw floor) onto the
 #                     otherwise-idle MXU.  Gradients flow through the
 #                     diagonal embedding, so dk is extracted exactly.
+#   "auto"          — dense_diag where the channel count is thin enough
+#                     that MXU wasted-FLOP time beats the VPU depthwise
+#                     floor (C <= DENSE_DIAG_MAX_C), XLA otherwise.
 #   "pallas_packed" — free-offset Pallas kernel, batch-packed lanes
 #                     (ops/pallas/dw_conv3d_free.py); TPU only, stride-1
 #                     SAME blocks only (others fall back to XLA).
 #   "pallas_nc"     — same kernel, natural (N,T,H,W,C) layout.
 DW_IMPL = "xla"
 
+# "auto" threshold: dense_diag's MXU time scales with C (27*C*2 FLOPs per
+# output element) while the VPU depthwise floor is C-independent per
+# element, so the crossover sits where C * (27*2/MXU_rate) exceeds
+# 27*2/VPU_rate — measured on v5e via tools/bench_kernels.py --impls
+# xla,dense_diag (docs/roofline.md).
+DENSE_DIAG_MAX_C = 54
 
-def set_dw_impl(mode: str) -> None:
-    """Select the depthwise-conv implementation ('xla' / 'pallas_packed' /
-    'pallas_nc')."""
-    global DW_IMPL
+
+def set_dw_impl(mode: str, *, dense_diag_max_c: int = None) -> None:
+    """Select the depthwise-conv implementation ('xla' / 'dense_diag' /
+    'auto' / 'pallas_packed' / 'pallas_nc')."""
+    global DW_IMPL, DENSE_DIAG_MAX_C
     DW_IMPL = mode
+    if dense_diag_max_c is not None:
+        DENSE_DIAG_MAX_C = dense_diag_max_c
 
 
 def _pallas_dw_ok(x, w, spatial_stride, padding) -> bool:
@@ -105,7 +117,8 @@ def depthwise_conv3d(x, w, *, spatial_stride=1, padding=(1, 1, 1)):
     temporal stride always 1, symmetric padding.  ``w`` is
     ``(kd, kh, kw, 1, C)``.
     """
-    if DW_IMPL == "dense_diag":
+    if DW_IMPL == "dense_diag" or (
+            DW_IMPL == "auto" and x.shape[-1] <= DENSE_DIAG_MAX_C):
         c = x.shape[-1]
         # (kd,kh,kw,1,C) -> (kd,kh,kw,C,C) with the per-channel taps on
         # the diagonal; autodiff through the embedding extracts the
@@ -117,7 +130,8 @@ def depthwise_conv3d(x, w, *, spatial_stride=1, padding=(1, 1, 1)):
             padding=padding,
             groups=1,
         )
-    if DW_IMPL != "xla" and _pallas_dw_ok(x, w, spatial_stride, padding):
+    if DW_IMPL in ("pallas_packed", "pallas_nc") and \
+            _pallas_dw_ok(x, w, spatial_stride, padding):
         from x3d_multigrid_tpu.ops.pallas.dw_conv3d_free import (
             dw_conv3d_free,
         )
