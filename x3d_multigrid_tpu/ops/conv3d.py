@@ -46,6 +46,14 @@ DW_IMPL = "xla"
 # element, so the crossover sits where C * (27*2/MXU_rate) exceeds
 # 27*2/VPU_rate — measured on v5e via tools/bench_kernels.py --impls
 # xla,dense_diag (docs/roofline.md).
+#
+# MEASURED IN-STEP (v5e, fine bucket, tools/bench_kernels.py --section
+# step --step-dw xla,auto): auto LOSES — 125.3 ms/step vs 119.2 for xla.
+# The full step is HBM-bound (docs/roofline.md), so moving the dw FLOPs
+# from the VPU to the MXU buys nothing while the 27x-fatter materialized
+# kernel tensor and the lost input fusion add traffic.  Op-level wins do
+# not compose into a memory-bound step; "xla" stays the default and
+# "auto"/"dense_diag" remain available for experiments.
 DENSE_DIAG_MAX_C = 54
 
 
