@@ -50,6 +50,16 @@ try:
 except Exception as e:  # cache is an optimization, never a requirement
     print(f"# compilation cache unavailable: {e}", flush=True)
 
+# The environment's sitecustomize pins jax_platforms to the TPU plugin via
+# jax.config (which OUTRANKS the JAX_PLATFORMS env var).  Honor an explicit
+# env override so `JAX_PLATFORMS=cpu python bench.py --tiny` flow-tests the
+# budget/JSON plumbing without touching the chip.
+if os.environ.get("JAX_PLATFORMS"):
+    try:
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -94,6 +104,20 @@ def measure_dispatch_overhead(n: int = 12) -> float:
     return statistics.median(times)
 
 
+def device_u8(key, shape):
+    """Uniform uint8 tensor generated ON DEVICE.
+
+    The axon tunnel stages host arrays at ~1 MB/s, so host-built clip
+    batches (tens to hundreds of MB) would dominate the bench's wall
+    clock — and a real deployment stages over PCIe/DMA at GB/s, so the
+    tunnel transfer is an artifact, not a cost worth measuring.  The
+    timed programs take the batch as an argument either way; on-device
+    generation changes where the bytes come from, not what is compiled.
+    """
+    return jax.jit(jax.random.bits, static_argnames=("shape", "dtype"))(
+        key, shape=shape, dtype=jnp.uint8)
+
+
 def bench_eval(cfg, mesh, params, compute_dtype, *, steps: int = 6):
     """3-view validation throughput + BN-folded serving latency
     (the reference's multi-view val path, kinetics.py:218-233, and
@@ -106,10 +130,14 @@ def bench_eval(cfg, mesh, params, compute_dtype, *, steps: int = 6):
     bn_state = init_bn_state(cfg, num_splits=1)
     eval_step = make_eval_step(cfg, mesh, compute_dtype=compute_dtype,
                                preprocess_mean_std=pp)
-    rng = np.random.RandomState(0)
-    b_clips, views, t, r = 8, 3, 8, 256
-    clips = jnp.asarray(rng.randint(
-        0, 255, (b_clips * views, t, r, r, 3), np.uint8))
+    # Real recipe val geometry: frames//gamma_tau = 80//5 = 16-frame views,
+    # recipe-scale batch (run() evals at batch_size=128 clips; 64 here keeps
+    # device memory modest while saturating the chip — 192 views is 1.5x the
+    # fine train bucket's element count).  Generated on device (see
+    # device_u8: ~600 MB would take ~10 min through the tunnel).
+    b_clips, views, t, r = 64, 3, 16, 256
+    clips = device_u8(jax.random.PRNGKey(0),
+                      (b_clips * views, t, r, r, 3))
     for _ in range(2):  # compile + warm
         logits = eval_step(params, bn_state, clips, out_size=224)
     float(jnp.sum(logits))
@@ -124,7 +152,10 @@ def bench_eval(cfg, mesh, params, compute_dtype, *, steps: int = 6):
         compute_dtype=compute_dtype or jnp.float32)
     lat = {}
     for n_views in (1, 10):
-        x = rng.randint(0, 255, (1, n_views, t, r, r, 3), np.uint8)
+        # Pre-staged on device: classify()'s jnp.asarray is then a no-op,
+        # so the median below is the compiled fwd path, not tunnel IO.
+        x = device_u8(jax.random.PRNGKey(n_views),
+                      (1, n_views, t, r, r, 3))
         engine.classify(x)  # compile
         times = []
         for _ in range(8):
@@ -253,11 +284,14 @@ def main():
         per_chip = b.batch_size // REFERENCE_GPUS
         bn_state = init_bn_state(cfg, num_splits=b.bn_splits)
         # adaptive decode (data/loader.py): the host ships crops already at
-        # the bucket's short-cycle size, so the device resize is a no-op
+        # the bucket's short-cycle size, so the device resize is a no-op.
+        # Clip pixels generated on device (device_u8) — the coarse buckets
+        # are ~19 MB of uint8, minutes of tunnel staging for bytes the
+        # timed program receives as an argument either way.
         batch = {
-            "clip": jnp.asarray(rng.randint(
-                0, 255, (per_chip, b.frames, b.crop, b.crop, 3),
-                np.uint8)),
+            "clip": device_u8(
+                jax.random.PRNGKey(1),
+                (per_chip, b.frames, b.crop, b.crop, 3)),
             "flip": jnp.asarray(rng.rand(per_chip) < 0.5),
             "label": jnp.asarray(
                 rng.randint(0, cfg.n_classes, (per_chip,)

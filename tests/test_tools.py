@@ -2,6 +2,7 @@
 
 import jax
 import numpy as np
+import pytest
 
 from tools.model_summary import summarize
 from x3d_multigrid_tpu.models import x3d
@@ -31,3 +32,34 @@ class TestModelSummary:
         cfg = x3d.x3d_config("M", n_classes=157, task="loc")
         rows, _ = summarize(cfg, batch=3, frames=8, crop=160)
         assert rows[-1][2] == (3, 8, 157)
+
+
+class TestBenchFlow:
+    """Driver contract: `python bench.py` must exit 0 and print exactly
+    one parsable JSON headline line (round 2's rc=124 regression guard).
+    --tiny exercises the full budget/estimator/JSON plumbing on CPU."""
+
+    @pytest.mark.slow
+    def test_tiny_bench_emits_one_json_headline(self, tmp_path):
+        import json
+        import os
+        import subprocess
+        import sys
+
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["JAX_COMPILATION_CACHE_DIR"] = str(tmp_path / "cache")
+        out = subprocess.run(
+            [sys.executable, "bench.py", "--tiny", "--steps", "2",
+             "--budget", "3000"],
+            cwd=os.path.join(os.path.dirname(__file__), os.pardir),
+            env=env, capture_output=True, text=True, timeout=1500)
+        assert out.returncode == 0, out.stderr[-2000:]
+        json_lines = [l for l in out.stdout.splitlines()
+                      if l.startswith("{")]
+        assert len(json_lines) == 1, out.stdout[-2000:]
+        parsed = json.loads(json_lines[0])
+        assert parsed["metric"] == "multigrid_train_clips_per_sec_per_chip"
+        assert parsed["value"] > 0
+        assert parsed["unit"] == "clips/s/chip"
+        assert "per_bucket" in parsed["detail"]
