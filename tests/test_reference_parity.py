@@ -154,26 +154,45 @@ def _run_parity(task):
     err = _rel_err(np.asarray(ours_eval), ref_eval)
     assert err < 1e-6, f"eval-mode logits diverge: rel err {err:.2e}"
 
-    # --- 5. gradients + one SGD step (class only: CE loss) ---------------
-    if task != "class":
-        return
-    labels = rng.randint(0, 400, size=(B,))
+    # --- 5. gradients + one SGD step (both tasks) -------------------------
+    # class: CE loss; loc: temporal interpolation + (BCE(max)+BCE)/2
+    # (train_x3d_charades_loc.py:168-189) through the SHIPPED loss fn.
     model.train()
     opt = torch.optim.SGD(model.parameters(), lr=0.1, momentum=0.9,
                           weight_decay=5e-5)
-    logits_t = model(xt).squeeze(2)
-    loss_t = torch.nn.functional.cross_entropy(
-        logits_t, torch.from_numpy(labels))
     opt.zero_grad()
+    if task == "class":
+        labels = rng.randint(0, 400, size=(B,))
+        logits_t = model(xt).squeeze(2)
+        loss_t = torch.nn.functional.cross_entropy(
+            logits_t, torch.from_numpy(labels))
+
+        def loss_fn(p):
+            logits, _ = forward(p, state, xj, cfg=cfg, train=True)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            return -jnp.mean(logp[jnp.arange(B), jnp.asarray(labels)])
+    else:
+        from x3d_multigrid_tpu.parallel.train_step import (
+            _charades_loc_loss)
+        TL = 11  # label resolution != logit resolution forces the interp
+        labels = (rng.rand(B, 400, TL) < 0.1).astype(np.float64)
+        crit = torch.nn.BCEWithLogitsLoss()
+        lt = torch.from_numpy(labels)
+        per_frame = model(xt)                                    # B C T
+        up = torch.nn.functional.interpolate(per_frame, TL, mode="linear")
+        loss_t = (crit(torch.max(up, dim=2)[0], torch.max(lt, dim=2)[0])
+                  + crit(up, lt)) / 2.0
+
+        def loss_fn(p):
+            logits, _ = forward(p, state, xj, cfg=cfg, train=True)
+            loss, _ = _charades_loc_loss(
+                logits, {"label": jnp.asarray(labels.transpose(0, 2, 1))})
+            return loss
+
     loss_t.backward()
     opt.step()
     ref_sd = _export(model)
     ref_params, _ = from_torch_state_dict(ref_sd, cfg)
-
-    def loss_fn(p):
-        logits, _ = forward(p, state, xj, cfg=cfg, train=True)
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        return -jnp.mean(logp[jnp.arange(B), jnp.asarray(labels)])
 
     loss_j, grads = jax.value_and_grad(loss_fn)(params)
     assert abs(float(loss_j) - float(loss_t.detach())) < 1e-7 * max(

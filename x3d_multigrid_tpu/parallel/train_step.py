@@ -38,14 +38,18 @@ class TrainStepOutputs(NamedTuple):
 
 def cross_entropy(logits, labels):
     """Mean CE over the batch; labels are int class ids (B,)."""
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    # promote (never demote): f32 accumulation for bf16 logits, but f64
+    # stays f64 so the float64 reference-parity tests see the real loss
+    acc = jnp.promote_types(logits.dtype, jnp.float32)
+    logp = jax.nn.log_softmax(logits.astype(acc), axis=-1)
     return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))
 
 
 def bce_with_logits(logits, targets, mask=None):
     """Mean binary cross-entropy with logits (torch BCEWithLogitsLoss)."""
-    x = logits.astype(jnp.float32)
-    t = targets.astype(jnp.float32)
+    acc = jnp.promote_types(logits.dtype, jnp.float32)
+    x = logits.astype(acc)
+    t = targets.astype(acc)
     # log(1+e^-|x|) formulation for stability
     loss = jnp.maximum(x, 0) - x * t + jnp.log1p(jnp.exp(-jnp.abs(x)))
     if mask is not None:

@@ -24,13 +24,22 @@ import numpy as np
 
 from x3d_multigrid_tpu.models.x3d import _BLOCKS, x3d_config
 from x3d_multigrid_tpu.train.checkpoint import (
-    from_torch_state_dict, load_checkpoint, save_checkpoint,
-    to_torch_state_dict,
+    _check_reference_layout, from_torch_state_dict, load_checkpoint,
+    momentum_from_torch_sgd, momentum_to_torch_sgd, save_checkpoint,
+    scheduler_to_torch, strip_module_prefix, to_torch_state_dict,
+    training_meta_from_torch,
 )
 
 
 def infer_config_from_state_dict(sd, version=None, task="class"):
-    """Derive an :class:`X3DConfig` from a reference state dict's shapes."""
+    """Derive an :class:`X3DConfig` from a reference state dict's shapes.
+
+    Accepts ``module.``-prefixed (DataParallel) saves; any other layout
+    fails with a clear "not a reference X3D state dict" error instead of
+    a raw ``KeyError`` mid-inference.
+    """
+    sd = strip_module_prefix(sd)
+    _check_reference_layout(sd)
     blocks = []
     for stage in range(1, 5):
         n = 0
@@ -80,24 +89,58 @@ def _pt_to_npz(src, dst, version, task):
     meta = {"source": src, "version": cfg.version,
             "n_classes": cfg.n_classes, "task": cfg.task,
             "bn_splits": infer_bn_splits(sd)}
-    if "long_ind" in ckpt and np.isscalar(ckpt["long_ind"]):
-        meta["long_ind"] = int(ckpt["long_ind"])
-    save_checkpoint(dst, params=params, bn_state=bn_state, meta=meta)
-    return meta
+    # Optimizer momenta + scheduler step/LR state (reference resume set,
+    # train_x3d_kinetics_multigrid.py:168-171,185-187) so a half-trained
+    # reference run resumes here with its SGD state intact —
+    # MultigridTrainer.restore() reads step/lr_lr/lr_base/long_ind.
+    momentum = None
+    if isinstance(ckpt, dict) and "optimizer_state_dict" in ckpt:
+        momentum = momentum_from_torch_sgd(
+            ckpt["optimizer_state_dict"], sd, cfg)
+    if isinstance(ckpt, dict):
+        meta.update(training_meta_from_torch(ckpt))
+    if "step" in meta:
+        # npz resume contract (MultigridTrainer.restore): iterations
+        # default to step * num_steps_per_update, which the reference also
+        # assumes (cur_iterations = steps * num_steps_per_update, :120)
+        meta.setdefault("iterations", meta["step"])
+    save_checkpoint(dst, params=params, bn_state=bn_state,
+                    momentum=momentum, meta=meta)
+    return {k: v for k, v in meta.items() if np.isscalar(v) or
+            isinstance(v, (list, str))}
 
 
 def _npz_to_pt(src, dst):
     import torch
+
+    def tt(v):
+        v = np.asarray(v)
+        return torch.from_numpy(np.ascontiguousarray(v)) if v.ndim \
+            else torch.tensor(v)
+
     ck = load_checkpoint(src)
+    meta = ck.get("meta", {})
     sd = to_torch_state_dict(ck["params"], ck["bn_state"])
-    out = {"model_state_dict":
-           {k: torch.from_numpy(np.ascontiguousarray(v)) if v.ndim
-            else torch.tensor(v) for k, v in sd.items()}}
-    if "long_ind" in ck.get("meta", {}):
-        out["long_ind"] = ck["meta"]["long_ind"]
+    out = {"model_state_dict": {k: tt(v) for k, v in sd.items()}}
+    if "long_ind" in meta:
+        out["long_ind"] = meta["long_ind"]
+    if "momentum" in ck and "lr_lr" in meta:
+        osd = momentum_to_torch_sgd(
+            ck["momentum"], ck["bn_state"], lr=meta["lr_lr"],
+            sgd_momentum=meta.get("sgd_momentum", 0.9),
+            weight_decay=meta.get("weight_decay", 5e-5))
+        for pid, st in osd["state"].items():
+            st["momentum_buffer"] = tt(st["momentum_buffer"])
+        out["optimizer_state_dict"] = osd
+        out["scheduler_state_dict"] = scheduler_to_torch(
+            int(meta.get("step", 0)), meta.get("milestones", ()),
+            gamma=meta.get("gamma", 0.1),
+            base_lr=meta.get("lr_base", meta["lr_lr"]),
+            last_lr=meta["lr_lr"])
     torch.save(out, dst)
-    return {"keys": len(sd), **{k: v for k, v in ck.get("meta", {}).items()
-                                if np.isscalar(v)}}
+    return {"keys": len(sd),
+            "optimizer_state": "optimizer_state_dict" in out,
+            **{k: v for k, v in meta.items() if np.isscalar(v)}}
 
 
 def main(argv=None):
