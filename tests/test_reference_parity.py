@@ -105,6 +105,146 @@ def test_reference_parity(task):
         _run_parity(task)
 
 
+def test_long_cycle_transition_trajectory():
+    """Multi-step parity ACROSS a long-cycle transition — the seam where
+    the two codebases differ most structurally: torch rebuilds split_bn
+    modules in place (update_bn_splits_long_cycle, x3d.py:298-303) and
+    edits the optimizer param-group LR
+    (train_x3d_kinetics_multigrid.py:227-234); we resize a functional BN
+    state tree and scale a host-side LR.  Six SGD steps, split count
+    8 -> 4 and LR x0.5 at step 3, comparing params, momenta, split
+    running stats, LR and loss at EVERY step, then aggregated eval
+    logits at the end.
+
+    The two sides are re-synced from the torch state after each step's
+    comparison: free-running float64 trajectories at this tiny test
+    geometry diverge chaotically (~300x amplification per step through
+    the ill-conditioned 4-8-element stage-4 BN stat groups — measured;
+    real geometry has ~1e6-element groups), which would drown structural
+    errors in rounding noise by step 2.  With resync every comparison is
+    a tight single-step check (params 1e-6, stats 1e-9), and a
+    structural mismatch at the transition (wrong split grouping, wrong
+    stat reset, wrong LR factor) still fails loudly at step 3+."""
+    with jax.enable_x64(True):
+        _run_trajectory()
+
+
+def _run_trajectory():
+    from x3d_multigrid_tpu.models.x3d import resize_bn_splits
+    from x3d_multigrid_tpu.train.checkpoint import momentum_from_torch_sgd
+
+    T2 = 4
+    model = _build("class")
+    # enter long cycle 1: splits = base * 2 (the reference fires this on
+    # the first batch of a cycle, train_x3d_kinetics_multigrid.py:227-228).
+    # The rebuilt split_bn modules come out float32 (x3d.py:301 ignores the
+    # model dtype); re-cast so the float64 comparison stays meaningful.
+    assert model.update_bn_splits_long_cycle(2) == 2 * BN_SPLITS
+    model.double()
+
+    cfg = X3DConfig(version="M", n_classes=400, dropout=0.0, task="class")
+
+    def sync_from_torch():
+        sd = _export(model)
+        p, s = from_torch_state_dict(sd, cfg)
+        mom = momentum_from_torch_sgd(opt.state_dict(), sd, cfg)
+        return (jax.tree.map(jnp.asarray, p),
+                jax.tree.map(jnp.asarray, s),
+                jax.tree.map(jnp.asarray, mom))
+
+    lr = 0.05
+    opt = torch.optim.SGD(model.parameters(), lr=lr, momentum=0.9,
+                          weight_decay=5e-5)
+    params, state, momentum = sync_from_torch()
+    rng = np.random.RandomState(11)
+    model.train()
+
+    for step in range(6):
+        if step == 3:  # the long-cycle transition under test
+            model.update_bn_splits_long_cycle(1)
+            model.double()  # fresh split_bn arrives float32 (see above)
+            for g in opt.param_groups:
+                g["lr"] *= 0.5
+            state = resize_bn_splits(state, BN_SPLITS)
+            lr *= 0.5
+            # our resized state must equal torch's rebuilt split_bn state
+            # BEFORE any forward: fresh 0/1 split stats at the new split
+            # count, eval stats preserved
+            _, torch_state = from_torch_state_dict(_export(model), cfg)
+            for (po, lo), (pr, lref) in zip(
+                    jax.tree_util.tree_flatten_with_path(state)[0],
+                    jax.tree_util.tree_flatten_with_path(
+                        jax.tree.map(jnp.asarray, torch_state))[0]):
+                assert po == pr
+                assert np.asarray(lo).shape == np.asarray(lref).shape, po
+                assert _rel_err(np.asarray(lo), np.asarray(lref)) < 1e-12, \
+                    f"transition state {jax.tree_util.keystr(po)}"
+        assert abs(lr - opt.param_groups[0]["lr"]) < 1e-15, f"step {step}"
+
+        x_np = rng.randn(B, 3, T2, H, W)
+        labels = rng.randint(0, 400, size=(B,))
+        xt = torch.from_numpy(x_np)
+        xj = jnp.asarray(x_np.transpose(0, 2, 3, 4, 1))
+
+        logits_t = model(xt).squeeze(2)
+        loss_t = torch.nn.functional.cross_entropy(
+            logits_t, torch.from_numpy(labels))
+        opt.zero_grad()
+        loss_t.backward()
+        opt.step()
+
+        def loss_fn(p):
+            logits, new_state = forward(p, state, xj, cfg=cfg, train=True)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            loss = -jnp.mean(logp[jnp.arange(B), jnp.asarray(labels)])
+            return loss, new_state
+
+        (loss_j, state), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        params, momentum = sgd_update(params, grads, momentum, lr=lr,
+                                      momentum=0.9, weight_decay=5e-5)
+
+        assert abs(float(loss_j) - float(loss_t.detach())) < 1e-8 * max(
+            1.0, abs(float(loss_t.detach()))), f"step {step} loss"
+        ref_sd = _export(model)
+        ref_params, _ = from_torch_state_dict(ref_sd, cfg)
+        ref_mom = momentum_from_torch_sgd(opt.state_dict(), ref_sd, cfg)
+        for ours, ref, what, tol in ((params, ref_params, "param", 1e-6),
+                                     (momentum, ref_mom, "momentum", 1e-6)):
+            flat_ours = jax.tree_util.tree_flatten_with_path(ours)[0]
+            flat_ref = jax.tree_util.tree_flatten_with_path(
+                jax.tree.map(jnp.asarray, ref))[0]
+            for (po, lo), (pr, lref) in zip(flat_ours, flat_ref):
+                assert po == pr
+                err = _rel_err(np.asarray(lo), np.asarray(lref))
+                assert err < tol, (
+                    f"step {step}: {what} {jax.tree_util.keystr(po)} "
+                    f"diverges (rel {err:.2e})")
+        ref_stats = _collect_split_stats(model)
+        our_stats = _our_subbn_leaves(state)
+        for name, (rm, rv) in ref_stats.items():
+            sm = np.asarray(our_stats[name]["split_mean"])
+            assert rm.shape == sm.shape, (name, step)
+            assert _rel_err(sm, rm) < 1e-9, f"step {step} {name} mean"
+            assert _rel_err(np.asarray(our_stats[name]["split_var"]),
+                            rv) < 1e-9, f"step {step} {name} var"
+        # resync: keep each step's comparison single-step-tight (see
+        # docstring — free-running f64 chaos, not a semantics gap)
+        params, state, momentum = sync_from_torch()
+
+    # aggregated eval parity after the whole trajectory
+    model.aggregate_sub_bn_stats()
+    model.eval()
+    x_np = rng.randn(B, 3, T2, H, W)
+    with torch.no_grad():
+        ref_eval = model(torch.from_numpy(x_np)).squeeze(2).numpy()
+    ours_eval, _ = forward(params, aggregate_all_subbn(state),
+                           jnp.asarray(x_np.transpose(0, 2, 3, 4, 1)),
+                           cfg=cfg, train=False)
+    err = _rel_err(np.asarray(ours_eval), ref_eval)
+    assert err < 1e-6, f"post-trajectory eval logits diverge ({err:.2e})"
+
+
 def _run_parity(task):
     model = _build(task)
     cfg = X3DConfig(version="M", n_classes=400, dropout=0.0, task=task)
