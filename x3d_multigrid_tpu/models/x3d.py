@@ -286,14 +286,53 @@ def _ckpt_name(x, name):
     return checkpoint_name(x, name)
 
 
+# Pointwise-conv + SubBN-stats epilogue fusion (ops/pallas/pw_conv_stats):
+# the conv pass that writes each pointwise output also emits the per-split
+# (sum, sumsq), so the following SubBN skips its stats re-read.  Off by
+# default — flip with set_pw_stats_epilogue(True) to measure (the roofline
+# experiment for the conv+BN hot pair, reference x3d.py:150-151).
+PW_STATS_EPILOGUE = False
+
+
+def set_pw_stats_epilogue(on: bool) -> None:
+    global PW_STATS_EPILOGUE
+    PW_STATS_EPILOGUE = bool(on)
+
+
+def _pw_conv_bn(x, w, bn_p, bn_state, *, train, momentum, ckpt=None):
+    """Pointwise conv -> SubBN, optionally with the fused stats epilogue.
+
+    ``ckpt=None`` skips the checkpoint_name wrapper (conv5 sits outside
+    the per-block remat, and an extra name primitive would change the
+    compiled HLO — invalidating the committed compilation cache — for
+    zero effect)."""
+    if train and PW_STATS_EPILOGUE:
+        from x3d_multigrid_tpu.ops.pallas.pw_conv_stats import (
+            pw_conv_subbn_stats, stats_from_sums,
+        )
+        s = bn_state["split_mean"].shape[0]
+        y, ps, pq = pw_conv_subbn_stats(x, w, s, x.dtype)
+        if ckpt:
+            y = _ckpt_name(y, ckpt)
+        cnt = (y.shape[0] // s) * y.shape[1] * y.shape[2] * y.shape[3]
+        return sub_batch_norm(y, bn_p["scale"], bn_p["bias"], bn_state,
+                              train=True, momentum=momentum,
+                              stats=stats_from_sums(ps, pq, cnt))
+    y = pointwise_conv3d(x, w)
+    if ckpt:
+        y = _ckpt_name(y, ckpt)
+    return sub_batch_norm(y, bn_p["scale"], bn_p["bias"], bn_state,
+                          train=train, momentum=momentum)
+
+
 def _bottleneck(blk_p, blk_s, x, *, has_se, train, momentum):
     """One inverted-bottleneck block (reference Bottleneck.forward,
     x3d.py:143-171)."""
     residual = x
 
-    out = _ckpt_name(pointwise_conv3d(x, blk_p["conv1"]["w"]), "pw1")
-    out, s1 = sub_batch_norm(out, blk_p["bn1"]["scale"], blk_p["bn1"]["bias"],
-                             blk_s["bn1"], train=train, momentum=momentum)
+    out, s1 = _pw_conv_bn(x, blk_p["conv1"]["w"], blk_p["bn1"],
+                          blk_s["bn1"], train=train, momentum=momentum,
+                          ckpt="pw1")
     out = jax.nn.relu(out)
 
     stride = 2 if "downsample" in blk_p else 1
@@ -317,9 +356,9 @@ def _bottleneck(blk_p, blk_s, x, *, has_se, train, momentum):
 
     out = swish(out)
 
-    out = _ckpt_name(pointwise_conv3d(out, blk_p["conv3"]["w"]), "pw3")
-    out, s3 = sub_batch_norm(out, blk_p["bn3"]["scale"], blk_p["bn3"]["bias"],
-                             blk_s["bn3"], train=train, momentum=momentum)
+    out, s3 = _pw_conv_bn(out, blk_p["conv3"]["w"], blk_p["bn3"],
+                          blk_s["bn3"], train=train, momentum=momentum,
+                          ckpt="pw3")
 
     new_s = {"bn1": s1, "bn2": s2, "bn3": s3}
     if "downsample" in blk_p:
@@ -376,9 +415,8 @@ def forward(params: Params, state: BNState, x, *, cfg: X3DConfig,
             stage_states.append(blk_s)
         new_state[name] = stage_states
 
-    out = pointwise_conv3d(out, params["conv5"]["w"])
-    out, new_state["bn5"] = sub_batch_norm(
-        out, params["bn5"]["scale"], params["bn5"]["bias"], state["bn5"],
+    out, new_state["bn5"] = _pw_conv_bn(
+        out, params["conv5"]["w"], params["bn5"], state["bn5"],
         train=train, momentum=momentum)
     out = jax.nn.relu(out)
 

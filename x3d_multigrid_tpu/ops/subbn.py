@@ -227,12 +227,19 @@ _norm_affine_cvjp.defvjp(_norm_affine_fwd, _norm_affine_bwd)
 
 
 def sub_batch_norm(x, scale, bias, state: SubBNState, *, train: bool,
-                   momentum: float = MOMENTUM, eps: float = EPS):
+                   momentum: float = MOMENTUM, eps: float = EPS,
+                   stats=None):
     """Apply SubBN to ``x`` of shape ``(N, T, H, W, C)``.
 
     Returns ``(y, new_state)``.  ``N`` must be divisible by the split count
     during training (guaranteed by the multigrid bucket construction, where
     per-chip batch = CONST_BN_SIZE * splits * short_multiplier).
+
+    ``stats=(mean, var)`` (each ``(S, C)``, biased var, computed from this
+    exact ``x``) skips the in-house stats pass — the conv-epilogue fusion
+    path (ops/pallas/pw_conv_stats.py) supplies them from the pass that
+    wrote ``x``.  They must be DIFFERENTIABLE functions of ``x`` so
+    autodiff still produces the full batch-norm gradient.
     """
     c = x.shape[-1]
     if train:
@@ -240,7 +247,18 @@ def sub_batch_norm(x, scale, bias, state: SubBNState, *, train: bool,
         n = x.shape[0]
         if n % s:
             raise ValueError(f"batch {n} not divisible by bn_splits {s}")
-        if _use_fused(x):
+        if stats is not None:
+            mean, var = stats
+            if mean.shape != (s, c):
+                raise ValueError(f"stats shape {mean.shape} != ({s}, {c})")
+            inv = jax.lax.rsqrt(var + eps)
+            xg = x.reshape(n // s, s, *x.shape[1:])
+            y = (xg - mean[None, :, None, None, None, :].astype(x.dtype)) \
+                * inv[None, :, None, None, None, :].astype(x.dtype)
+            y = y.reshape(x.shape)
+            mean = jax.lax.stop_gradient(mean)   # EMA side only
+            var = jax.lax.stop_gradient(var)
+        elif _use_fused(x):
             # fused Pallas kernel: stats + normalize + affine in one pass
             # pair (ops/pallas/subbn_fused.py); affine applied in-kernel
             from x3d_multigrid_tpu.ops.pallas.subbn_fused import (
@@ -257,7 +275,7 @@ def sub_batch_norm(x, scale, bias, state: SubBNState, *, train: bool,
                              + momentum * (var * unbias),
             }
             return y, new_state
-        if FUSED_TRAIN == "cvjp":
+        elif FUSED_TRAIN == "cvjp":
             mean, var = _split_stats_lanes(x, s)
             mean = jax.lax.stop_gradient(mean)
             var = jax.lax.stop_gradient(var)
@@ -276,7 +294,7 @@ def sub_batch_norm(x, scale, bias, state: SubBNState, *, train: bool,
                                  state["split_var"].dtype),
             }
             return y, new_state
-        if FUSED_TRAIN == "lanes":
+        elif FUSED_TRAIN == "lanes":
             mean, var, y = _lanes_stats_normalize(x, s, eps)
         else:
             xg = x.reshape(n // s, s, *x.shape[1:])  # sample i*S+s -> split s
