@@ -115,3 +115,30 @@ class TestPrecedence:
         got = json.loads(out.read_text())
         assert got["batch_size"] == 16
         assert got["crop_size_override"] == 32
+
+    def test_tiny_is_below_config_precedence(self, tmp_path, monkeypatch):
+        """--tiny is a preset: values the user set in --config must beat
+        it (defaults < tiny < config < explicit flags)."""
+        cfg = tmp_path / "c.json"
+        cfg.write_text(json.dumps({"batch_size": 24, "frames": 32,
+                                   "short_side": 64}))
+        out = tmp_path / "resolved.json"
+        self._run_cli(kinetics_main,
+                      ["prog", "--tiny", "--config", str(cfg),
+                       "--dump-config", str(out)], monkeypatch)
+        got = json.loads(out.read_text())
+        assert got["batch_size"] == 24          # config beats tiny preset
+        assert got["frames"] == 32
+        assert got["short_side"] == 64
+        assert got["crop_size_override"] == 32  # tiny fills the rest
+        assert got["gamma_tau_override"] == 2
+
+        cfg2 = tmp_path / "c2.json"
+        cfg2.write_text(json.dumps({"batch_size": 12}))
+        out2 = tmp_path / "resolved2.json"
+        self._run_cli(charades_main,
+                      ["prog", "--tiny", "--config", str(cfg2),
+                       "--dump-config", str(out2)], monkeypatch)
+        got2 = json.loads(out2.read_text())
+        assert got2["batch_size"] == 12
+        assert got2["crop_size_override"] == 32

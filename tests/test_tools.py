@@ -48,6 +48,11 @@ class TestBenchFlow:
 
         env = dict(os.environ)
         env["JAX_PLATFORMS"] = "cpu"
+        # Deliberately a FRESH cache dir: the run is cold.  XLA:CPU AOT
+        # cache entries are machine-feature-pinned (they refuse to load
+        # across differing hosts — observed cpu_aot_loader errors), so
+        # committing CPU entries for this test would be dead repo weight;
+        # the committed .jax_cache holds only the TPU bench programs.
         env["JAX_COMPILATION_CACHE_DIR"] = str(tmp_path / "cache")
         out = subprocess.run(
             [sys.executable, "bench.py", "--tiny", "--steps", "2",

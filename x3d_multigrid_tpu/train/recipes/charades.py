@@ -530,17 +530,20 @@ def main():
 
     kw = dict(task=args.task, out_dir=args.out_dir,
               compute_dtype=args.dtype, ckpt_backend=args.ckpt_backend,
-              batch_size=args.batch_size or None)
+              batch_size=args.batch_size)
+    # --tiny is a PRESET: below-config precedence (defaults < tiny <
+    # config < explicit flags), matching the Kinetics CLI
+    tiny_defaults = None
     if args.tiny:
-        kw.update(
+        tiny_defaults = dict(
             frames=16, gamma_tau=2, crop_size_override=32, short_side=40,
+            batch_size=4,
             model_overrides=dict(
                 blocks_override=(1, 1, 1, 1),
                 inplanes_override=((12, 8), (16, 8), (24, 16), (32, 16)),
                 fc1_dim=32))
-        if kw["batch_size"] is None:
-            kw["batch_size"] = 4
-    recipe = make_recipe(CharadesRecipe, args.config, **kw)
+    recipe = make_recipe(CharadesRecipe, args.config,
+                         defaults=tiny_defaults, **kw)
     if args.dump_config:
         save_recipe(recipe, args.dump_config)
         return

@@ -818,21 +818,25 @@ def main():
               num_steps_per_update=args.num_steps_per_update,
               profile_steps=args.profile_steps,
               n_classes=args.n_classes, warmup_steps=args.warmup_steps,
-              batch_size=args.batch_size or None)
+              batch_size=args.batch_size)
     if args.remat:  # store_true: absent != explicit False
         kw["remat"] = True
+    # --tiny is a PRESET: below-config precedence, so a --config file's
+    # geometry/batch settings still win over it (defaults < tiny < config
+    # < explicit flags)
+    tiny_defaults = None
     if args.tiny:
-        kw.update(
+        tiny_defaults = dict(
             frames=16, crop_size_override=32, gamma_tau_override=2,
             base_bs_per_replica=4, const_bn_size=2, short_side=40,
+            batch_size=8,
             model_overrides=dict(
                 blocks_override=(1, 1, 1, 1),
                 inplanes_override=((12, 8), (16, 8), (24, 16), (32, 16)),
                 fc1_dim=32),
         )
-        if kw["batch_size"] is None:
-            kw["batch_size"] = 8
-    recipe = make_recipe(KineticsRecipe, args.config, **kw)
+    recipe = make_recipe(KineticsRecipe, args.config,
+                         defaults=tiny_defaults, **kw)
     if args.dump_config:
         save_recipe(recipe, args.dump_config)
         return

@@ -8,8 +8,9 @@ module adds file round-tripping so runs are reproducible artifacts:
     python -m ...kinetics_multigrid --config run.json --synthetic
     python -m ...kinetics_multigrid --tiny --dump-config resolved.json
 
-Precedence (applied by the recipe CLIs): dataclass defaults < config
-file < explicit CLI flags.  JSON is the format (stdlib-only, and the
+Precedence (applied by the recipe CLIs): dataclass defaults < flag
+presets (``--tiny``) < config file < explicit CLI flags.  JSON is the
+format (stdlib-only, and the
 reference's own annotation format); lists coerce to tuples where the
 dataclass field is a tuple, and unknown keys fail loudly with the list
 of valid fields.
@@ -81,15 +82,29 @@ def load_recipe_dict(path: str, cls) -> Dict[str, Any]:
     return _coerce(cls, data)
 
 
-def make_recipe(cls, config_path=None, **overrides):
-    """Construct ``cls`` with defaults < config file < ``overrides``.
+# Sentinel for "flag not given": distinguishable from an explicit None,
+# so Optional recipe fields could in principle be reset to None by an
+# explicit override (None itself is also treated as unset for
+# backward-compatible argparse defaults).
+UNSET = object()
 
-    ``overrides`` with value ``None`` are dropped (the CLI passes ``None``
-    for flags the user did not set).
+
+def make_recipe(cls, config_path=None, defaults=None, **overrides):
+    """Construct ``cls`` with dataclass defaults < ``defaults`` < config
+    file < explicit ``overrides``.
+
+    ``defaults`` is the below-config tier for flag *presets* (e.g.
+    ``--tiny`` geometry): a config file still wins over them.
+    ``overrides`` with value :data:`UNSET` or ``None`` are dropped (the
+    CLIs pass argparse defaults of ``None`` for flags the user did not
+    set).
     """
     base: Dict[str, Any] = {}
+    if defaults:
+        base.update(_coerce(cls, {k: v for k, v in defaults.items()
+                                  if v is not None and v is not UNSET}))
     if config_path:
-        base = load_recipe_dict(config_path, cls)
+        base.update(load_recipe_dict(config_path, cls))
     base.update(_coerce(cls, {k: v for k, v in overrides.items()
-                              if v is not None}))
+                              if v is not None and v is not UNSET}))
     return cls(**base)
