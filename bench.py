@@ -19,8 +19,9 @@ The headline JSON line prints IMMEDIATELY after the bucket loop so the
 driver always gets a parsed result even under a tight budget (round 2's
 rc=124 lesson).  Buckets are measured most-schedule-weight first under a
 wall-clock ``--budget``; unmeasured buckets are estimated from their long
-cycle's mean step time.  ``--with-eval`` / ``--with-loader`` append
-3-view eval throughput, BN-folded serving latency, and the host
+cycle's mean step time.  The headline ``detail`` carries a compact
+``eval`` block (3-view val throughput + BN-folded serving latency),
+budget-guarded like the buckets; ``--with-loader`` appends the host
 input-pipeline section after the JSON line (as ``#`` comment lines).
 
 Baseline: ~23 clips/s/GPU on Titan RTX (BASELINE.md, derived from the
@@ -118,7 +119,8 @@ def device_u8(key, shape):
         key, shape=shape, dtype=jnp.uint8)
 
 
-def bench_eval(cfg, mesh, params, compute_dtype, *, steps: int = 6):
+def bench_eval(cfg, mesh, params, compute_dtype, *, steps: int = 6,
+               tiny: bool = False):
     """3-view validation throughput + BN-folded serving latency
     (the reference's multi-view val path, kinetics.py:218-233, and
     the deployment InferenceEngine)."""
@@ -136,6 +138,8 @@ def bench_eval(cfg, mesh, params, compute_dtype, *, steps: int = 6):
     # fine train bucket's element count).  Generated on device (see
     # device_u8: ~600 MB would take ~10 min through the tunnel).
     b_clips, views, t, r = 64, 3, 16, 256
+    if tiny:
+        b_clips, views, t, r = 4, 3, 4, 40
     clips = device_u8(jax.random.PRNGKey(0),
                       (b_clips * views, t, r, r, 3))
     for _ in range(2):  # compile + warm
@@ -174,9 +178,11 @@ def main():
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
     ap.add_argument("--quick", action="store_true",
                     help="only bench 3 representative buckets")
-    ap.add_argument("--full", action="store_true",
-                    help="bench all 10 buckets (default: 6 spanning the "
-                         "long cycles; compiles dominate wall time)")
+    ap.add_argument("--spanning", action="store_true",
+                    help="bench only the 6 corner buckets (one per "
+                         "long-cycle/short-cycle extreme) and estimate the "
+                         "rest from long-cycle means — the pre-r4 default, "
+                         "useful when every compile is cold")
     ap.add_argument("--mode", default="loop", choices=["loop", "dispatch"],
                     help="loop (default): in-graph lax.scan of --steps SGD "
                          "steps, timed wall-clock with NO overhead "
@@ -227,7 +233,7 @@ def main():
         pass  # keep every tiny bucket
     elif args.quick:
         buckets = sorted(buckets, key=lambda b: -weights[b.bucket_key])[:3]
-    elif not args.full:
+    elif args.spanning:
         # one bucket per (long-cycle, extreme-short) corner: covers every
         # (T, bn_splits) family and both batch extremes; unmeasured buckets
         # get the mean ms/step of their long cycle (B*T*S^2 is ~constant,
@@ -236,6 +242,10 @@ def main():
                  (1024, 4, 111, 16), (1024, 4, 112, 8),
                  (256, 4, 224, 8), (128, 8, 224, 4)}
         buckets = [b for b in buckets if b.bucket_key in picks]
+    # default: ALL 10 buckets, measured most-schedule-weight first under
+    # the budget guard — with the committed .jax_cache warm the full loop
+    # fits in well under the budget (r3 ran 6 buckets in 473 s), and a
+    # cold run still lands the JSON with the heaviest buckets measured.
     # Most-schedule-weight first: if the budget runs out, the buckets that
     # dominate the weighted headline are the ones actually measured.
     buckets = sorted(buckets, key=lambda b: -weights[b.bucket_key])
@@ -369,6 +379,20 @@ def main():
         detail["skipped_buckets"] = skipped
     detail["bucket_wall_s"] = round(time.perf_counter() - t_start, 1)
 
+    # Eval block inside the headline detail: 3-view val throughput +
+    # BN-folded serving latency (multi-view eval, kinetics.py:218-233).
+    # Same budget guard as the bucket loop — a cold eval compile must
+    # never delay the JSON line past the driver's kill window; warm (the
+    # eval programs are in the committed .jax_cache) it costs seconds.
+    if time.perf_counter() - t_start < args.budget:
+        try:
+            detail["eval"] = bench_eval(cfg, mesh, params, compute_dtype,
+                                        tiny=args.tiny)
+        except Exception as e:
+            print(f"# eval block failed: {e!r}", flush=True)
+    else:
+        print("# eval block skipped (over budget)", flush=True)
+
     # Headline FIRST — everything below is optional garnish that must
     # never cost the driver its parsed result.
     print(json.dumps({
@@ -380,9 +404,11 @@ def main():
     }), flush=True)
 
     if args.with_eval:
+        # the eval block now runs into detail["eval"] by default; this
+        # flag re-prints it (or retries if the budget skipped it above)
         try:
             print(f"# eval: "
-                  f"{bench_eval(cfg, mesh, params, compute_dtype)}",
+                  f"{detail.get('eval') or bench_eval(cfg, mesh, params, compute_dtype, tiny=args.tiny)}",
                   flush=True)
         except Exception as e:
             print(f"# eval section failed: {e!r}", flush=True)
