@@ -42,8 +42,12 @@ import jax
 # ~40 s-4 min EACH through the TPU tunnel; with the cache warm (previous
 # bench run or the same round's smoke run) they deserialize in seconds.
 try:
-    _cache_dir = os.environ.get(
-        "JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+    # CPU flow tests (JAX_PLATFORMS=cpu) go to the gitignored CPU cache so
+    # they never drop x86 programs into the committed TPU cache dir.
+    _default_cache = ("/root/repo/.jax_cache_cpu"
+                      if os.environ.get("JAX_PLATFORMS") == "cpu"
+                      else "/root/repo/.jax_cache")
+    _cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", _default_cache)
     os.makedirs(_cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
@@ -169,6 +173,83 @@ def bench_eval(cfg, mesh, params, compute_dtype, *, steps: int = 6,
         lat[f"classify_ms_b1_v{n_views}"] = round(
             statistics.median(times) * 1e3, 1)
     return {"val_3view_clips_per_sec_per_chip": round(val_clips_s, 1), **lat}
+
+
+def measure_h2d_bandwidth(mb: float = 3.0, reps: int = 3) -> dict:
+    """Host->device staging bandwidth: timed ``device_put`` of a uint8
+    buffer (the exact call the loader's staging path makes).  On this rig
+    the transfer rides the axon tunnel — an artifact of the bench
+    environment, reported as such; in a deployment the same call rides
+    the host's PCIe link.  Both feed ``reconcile_end_to_end``."""
+    n = int(mb * 1e6)
+    buf = np.random.RandomState(0).randint(0, 256, (n,)).astype(np.uint8)
+    jax.device_put(np.zeros(1024, np.uint8)).block_until_ready()  # setup
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.device_put(buf).block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+    return {"buffer_mb": round(mb, 2), "mb_per_s": round(n / best / 1e6, 2)}
+
+
+def reconcile_end_to_end(weighted_clips_s: float, weights, all_buckets,
+                         loader: dict, h2d: dict) -> dict:
+    """ONE sustained clips/s/chip number WITH the data path in the loop.
+
+    The training pipeline overlaps three stages (data/loader.py: decode
+    pool -> prefetcher -> staging -> device step, each ahead of the
+    next), so at steady state the sustained rate is the MINIMUM of the
+    three stage rates, not their sum — the model the reference's 12-worker
+    pinned-memory DataLoader (dataloader.py:745-747) embodies on GPU.
+
+    Stage rates, all schedule-weighted over the 10 multigrid buckets:
+      compute  — the measured bucket loop (the headline number);
+      staging  — link MB/s / staged MB per clip (uint8 crops at bucket
+                 geometry, adaptive decode having already downsized them);
+      decode   — host cores/chip * measured per-core full-res decode
+                 rate / full-res-equivalent decode demand per clip
+                 (frames * (crop/224)^2, bench_loader's cost model).
+
+    Staging is evaluated at BOTH the measured tunnel rate (bench-rig
+    artifact) and a per-chip datacenter PCIe share
+    (X3D_DC_H2D_GBPS_PER_CHIP, default 1.5 GB/s = conservative PCIe
+    gen3 x16 split 8 ways); the end-to-end claim uses the latter, the
+    former is reported for honesty."""
+    dc_gbps = float(os.environ.get("X3D_DC_H2D_GBPS_PER_CHIP", 1.5))
+    cores_per_chip = float(os.environ.get(
+        "X3D_HOST_CORES_PER_CHIP",
+        int(os.environ.get("X3D_V5E8_HOST_CORES", 112)) / 8))
+    tot_clips = tot_bytes = tot_demand = 0.0
+    for b in all_buckets:
+        n = weights[b.bucket_key] * (b.batch_size // REFERENCE_GPUS)
+        tot_clips += n
+        tot_bytes += n * b.frames * b.crop * b.crop * 3
+        tot_demand += n * b.frames * (b.crop / 224.0) ** 2
+    mb_per_clip = tot_bytes / tot_clips / 1e6
+    demand = tot_demand / tot_clips  # full-res-equivalent decodes/clip
+    core_rate = loader["detail"]["single_core_decode_rate"]
+    stage = {
+        "compute": weighted_clips_s,
+        "staging_dc": dc_gbps * 1e3 / mb_per_clip,
+        "decode": cores_per_chip * core_rate / demand,
+    }
+    e2e = min(stage.values())
+    return {
+        "metric": "end_to_end_train_clips_per_sec_per_chip",
+        "value": round(e2e, 1),
+        "unit": "clips/s/chip (decode+staging+compute overlapped)",
+        "vs_baseline": round(e2e / BASELINE_CLIPS_PER_SEC_PER_GPU, 2),
+        "bottleneck": min(stage, key=stage.get),
+        "stage_rates_clips_s": {k: round(v, 1) for k, v in stage.items()},
+        "staged_mb_per_clip": round(mb_per_clip, 3),
+        "decode_demand_fullres_frames_per_clip": round(demand, 1),
+        "single_core_decode_fps": round(core_rate, 1),
+        "host_cores_per_chip": cores_per_chip,
+        "dc_h2d_gbps_per_chip_assumed": dc_gbps,
+        "h2d_measured_tunnel": h2d,
+        "staging_limited_clips_s_at_tunnel_rate": round(
+            h2d["mb_per_s"] / mb_per_clip, 2),
+    }
 
 
 def main():
@@ -415,13 +496,20 @@ def main():
 
     if args.with_loader:
         # host input pipeline: real JPEG decode throughput on this host +
-        # cores needed per chip to feed the device at the rates above
+        # cores needed per chip to feed the device at the rates above,
+        # then the reconciled end-to-end number (compute + decode +
+        # staging overlapped) as its own JSON line
         try:
             from tools.bench_loader import run_loader_bench
             loader = run_loader_bench(iterations=8, videos=16,
                                       device_per_bucket=per_bucket,
                                       quiet=True)
             print(f"# loader: {loader}", flush=True)
+            h2d = measure_h2d_bandwidth()
+            print(f"# h2d: {h2d}", flush=True)
+            e2e = reconcile_end_to_end(weighted, weights, all_buckets,
+                                       loader, h2d)
+            print(json.dumps(e2e), flush=True)
         except Exception as e:
             print(f"# loader section failed: {e!r}", flush=True)
 

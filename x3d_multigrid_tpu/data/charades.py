@@ -77,23 +77,25 @@ def frame_path(root: str, vid: str, index: int) -> str:
 
 
 def train_window(video: CharadesVideo, frames: int, gamma_tau: int,
-                 rng: np.random.RandomState
+                 rng: np.random.RandomState,
+                 num_classes: int = NUM_CLASSES
                  ) -> Tuple[List[int], np.ndarray]:
     """Random training window: ``frames`` raw frames at stride ``gamma_tau``
     from a random start; labels cover the *unsubsampled* window
     (charades.py:130-140).  Args are the already-doubled values."""
     start = int(rng.randint(1, video.n_frames - frames))  # randint(1, nf-(f+1))
     indices = list(range(start, start + frames, gamma_tau))
-    lab = label_matrix(video)[start - 1:start - 1 + frames]
+    lab = label_matrix(video, num_classes)[start - 1:start - 1 + frames]
     return indices, lab
 
 
-def test_window(video: CharadesVideo, gamma_tau: int
+def test_window(video: CharadesVideo, gamma_tau: int,
+                num_classes: int = NUM_CLASSES
                 ) -> Tuple[List[int], np.ndarray]:
     """Testing reads the whole video at stride gamma_tau; labels for every
     frame (charades.py:132-140)."""
     indices = list(range(1, 1 + video.n_frames, gamma_tau))
-    return indices, label_matrix(video)
+    return indices, label_matrix(video, num_classes)
 
 
 def test_class_views(t_model: int, frames: int, gamma_tau: int,

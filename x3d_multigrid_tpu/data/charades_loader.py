@@ -33,7 +33,7 @@ class CharadesTrainLoader:
                  gamma_tau: int, short_side: int, crop_size: int,
                  scales, num_threads: int = 8, prefetch: int = 2,
                  seed: int = 0, process_index: int = 0,
-                 process_count: int = 1):
+                 process_count: int = 1, num_classes: int = NUM_CLASSES):
         self.videos = list(videos)
         self.root = root
         self.reader = reader
@@ -44,6 +44,7 @@ class CharadesTrainLoader:
         self.short_side = short_side
         self.crop_size = crop_size
         self.scales = scales
+        self.num_classes = num_classes
         self.stream = ShuffledIndexStream(len(self.videos), seed)
         self.pool = ThreadPoolExecutor(max_workers=num_threads)
         self.prefetch = prefetch
@@ -59,7 +60,8 @@ class CharadesTrainLoader:
 
     def _load_clip(self, video: CharadesVideo, seed: int):
         rng = np.random.RandomState(seed)
-        indices, lab = train_window(video, self.frames, self.gamma_tau, rng)
+        indices, lab = train_window(video, self.frames, self.gamma_tau, rng,
+                                    self.num_classes)
         paths = [frame_path(self.root, video.vid, i) for i in indices]
         clip, params = self.reader.clip_train(
             paths, self.short_side, self.crop_size, self.scales, rng)
@@ -112,7 +114,8 @@ class CharadesEvalLoader:
                  gamma_tau: int, short_side: int, crops: int = 10,
                  num_threads: int = 8, prefetch: int = 2,
                  t_pad_multiple: int = 16, tl_pad_multiple: int = 128,
-                 process_index: int = 0, process_count: int = 1):
+                 process_index: int = 0, process_count: int = 1,
+                 num_classes: int = NUM_CLASSES):
         self.videos = list(videos)
         self.root = root
         self.reader = reader
@@ -126,6 +129,7 @@ class CharadesEvalLoader:
         self.prefetch = prefetch
         self.t_pad_multiple = t_pad_multiple
         self.tl_pad_multiple = tl_pad_multiple
+        self.num_classes = num_classes
         # Multi-host: identical global chunking on every host, each host
         # loads its process_index share; padded shapes are derived from the
         # GLOBAL chunk's metadata so hosts agree without communicating.
@@ -136,7 +140,7 @@ class CharadesEvalLoader:
         self.process_count = process_count
 
     def _load_video(self, video: CharadesVideo):
-        indices, lab = test_window(video, self.gamma_tau)
+        indices, lab = test_window(video, self.gamma_tau, self.num_classes)
         paths = [frame_path(self.root, video.vid, i) for i in indices]
         clip = self.reader.clip_eval(paths, self.short_side)  # (T, R, R, 3)
         if self.task == "class":
@@ -189,12 +193,12 @@ class CharadesEvalLoader:
                     spatial = batch["clip"].shape[2:]
                 else:
                     batch = {"clip": np.zeros((0, 1, 1, 1, 3), np.uint8),
-                             "label": np.zeros((0, 1, NUM_CLASSES),
+                             "label": np.zeros((0, 1, self.num_classes),
                                                np.float32),
                              "mask": np.zeros((0, 1), np.float32)}
                     spatial = (self.short_side, self.short_side, 3)
                 clip = np.zeros((per, t_pad) + spatial, np.uint8)
-                label = np.zeros((per, tl_pad, NUM_CLASSES), np.float32)
+                label = np.zeros((per, tl_pad, self.num_classes), np.float32)
                 mask = np.zeros((per, tl_pad), np.float32)
                 nb = batch["clip"].shape[0]
                 clip[:nb, :batch["clip"].shape[1]] = batch["clip"]

@@ -71,9 +71,37 @@ def make_fake_kinetics(root: str, *, n_classes: int = 4,
     return root, anno_path, labels_path
 
 
+# Maximally-separated colors (RGB-cube corners, pulled slightly inside so
+# additive noise never clips a whole channel): classes must stay
+# discriminable through JPEG encoding, short-side resize and random crops
+# for the e2e learning floors to be about TRAINING, not the fixture.
+_PALETTE = np.array(
+    [(230, 40, 40), (40, 230, 40), (40, 40, 230), (230, 230, 40),
+     (230, 40, 230), (40, 230, 230), (245, 245, 245), (15, 15, 15)],
+    np.float32)
+
+
+def _class_color(ci) -> np.ndarray:
+    """Label-determined mean color (Charades class-coded fixture)."""
+    ci = np.asarray(ci)
+    hashed = np.stack([(ci * 97) % 256, (ci * 53 + 80) % 256,
+                       (ci * 31 + 160) % 256], -1).astype(np.float32)
+    return np.where((ci < len(_PALETTE))[..., None],
+                    _PALETTE[np.minimum(ci, len(_PALETTE) - 1)], hashed)
+
+
 def make_fake_charades(root: str, *, n_videos: int = 3, n_frames: int = 170,
-                       frame_size=(64, 48), seed: int = 0):
-    """Miniature Charades layout: <root>/<vid>/<vid>-%06d.jpg + split JSON."""
+                       frame_size=(64, 48), seed: int = 0,
+                       class_coded: bool = False, n_classes: int = 157):
+    """Miniature Charades layout: <root>/<vid>/<vid>-%06d.jpg + split JSON.
+
+    ``class_coded=True`` gives video ``v`` two half-duration actions
+    (``v % n_classes`` then ``(v + 3) % n_classes``) and paints each frame
+    the active action's mean color (plus noise) — per-frame appearance
+    matches the per-frame label matrix exactly (charades.py:91-97 label
+    semantics), so both the video-level multi-label task and the
+    per-frame localization task are trivially learnable.  Used by the
+    end-to-end convergence floors."""
     from PIL import Image
     rng = np.random.RandomState(seed)
     data = {}
@@ -82,17 +110,36 @@ def make_fake_charades(root: str, *, n_videos: int = 3, n_frames: int = 170,
         vid = f"CHAR{v:03d}"
         vdir = os.path.join(root, vid)
         os.makedirs(vdir, exist_ok=True)
+        duration = n_frames / 24.0
+        if class_coded:
+            actions = [[v % n_classes, 0.0, duration * 0.5],
+                       [(v + 3) % n_classes, duration * 0.5, duration]]
+        else:
+            actions = [[v % n_classes, 0.5, duration * 0.4],
+                       [(v + 50) % n_classes, duration * 0.5,
+                        duration * 0.9]]
+        fps = n_frames / duration
         for f in range(1, n_frames + 1):
-            arr = rng.randint(0, 255, frame_size[::-1] + (3,), np.uint8)
+            noise = rng.randint(0, 60, frame_size[::-1] + (3,))
+            if class_coded:
+                # frame f (1-based) <-> label row f-1: t = (f-1)/fps with
+                # the exclusive (start, end) bounds of label_matrix
+                t = (f - 1) / fps
+                active = [c for c, s, e in actions if s < t < e]
+                base = (np.mean([_class_color(c) for c in active], axis=0)
+                        if active else np.full(3, 128.0))
+                arr = np.clip(base[None, None] * 0.8 + noise,
+                              0, 255).astype(np.uint8)
+            else:
+                arr = rng.randint(0, 255, frame_size[::-1] + (3,),
+                                  np.uint8)
             Image.fromarray(arr).save(
                 os.path.join(vdir, f"{vid}-{str(f).zfill(6)}.jpg"),
                 quality=90)
-        duration = n_frames / 24.0
         data[vid] = {
             "subset": "training" if v % 3 != 2 else "testing",
             "duration": duration,
-            "actions": [[v % 157, 0.5, duration * 0.4],
-                        [(v + 50) % 157, duration * 0.5, duration * 0.9]],
+            "actions": actions,
         }
     split_path = os.path.join(root, "charades_split.json")
     with open(split_path, "w") as f:

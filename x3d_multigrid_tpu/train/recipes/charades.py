@@ -54,6 +54,9 @@ class CharadesRecipe:
     init_lr: float = 0.04                # 0.02 * BS_UPSCALE
     weight_decay: float = 1e-5
     sgd_momentum: float = 0.9
+    bn_momentum: float = 0.1          # torch BN default (x3d.py SubBN);
+                                      # short runs (tests) raise it so the
+                                      # aggregated eval stats catch up
     frames: int = 80                     # doubled in the dataset (=160 raw)
     gamma_tau: int = 5                   # doubled in the dataset (=10)
     val_crops: int = 10
@@ -134,7 +137,7 @@ class CharadesTrainer:
         self.train_step = make_train_step(
             self.cfg, self.mesh, loss=loss, momentum=recipe.sgd_momentum,
             weight_decay=recipe.weight_decay, donate=True,
-            compute_dtype=dtype,
+            compute_dtype=dtype, bn_momentum=recipe.bn_momentum,
             preprocess_mean_std=(CHARADES_MEAN, CHARADES_STD))
         self.eval_step = make_eval_step(
             self.cfg, self.mesh, compute_dtype=dtype,
@@ -148,7 +151,7 @@ class CharadesTrainer:
                 self.cfg, self.mesh, num_steps=self.group_size, loss=loss,
                 momentum=recipe.sgd_momentum,
                 weight_decay=recipe.weight_decay, compute_dtype=dtype,
-                per_step_batches=True,
+                per_step_batches=True, bn_momentum=recipe.bn_momentum,
                 preprocess_mean_std=(CHARADES_MEAN, CHARADES_STD))
         self.lr_ctrl = PlateauLRController(recipe.init_lr)
         self.rng = jax.random.PRNGKey(seed + 1)
@@ -446,13 +449,15 @@ def run(recipe: CharadesRecipe, *, root: str, anno: str,
         batch_size=recipe.batch_size, frames=2 * recipe.frames,
         gamma_tau=2 * recipe.gamma_tau, short_side=recipe.short_side,
         crop_size=recipe.crop_size, scales=scales,
-        process_index=pidx, process_count=pcount)
+        process_index=pidx, process_count=pcount,
+        num_classes=recipe.n_classes)
     val_loader = CharadesEvalLoader(
         test_videos, root, reader=reader, task=recipe.task,
         batch_size=max(recipe.batch_size // 2, pcount),
         frames=2 * recipe.frames, gamma_tau=2 * recipe.gamma_tau,
         short_side=recipe.short_side, crops=recipe.val_crops,
-        process_index=pidx, process_count=pcount)
+        process_index=pidx, process_count=pcount,
+        num_classes=recipe.n_classes)
 
     ipe = max(len(train_videos) // recipe.batch_size, 1)
     # interval-based cadences: grouped dispatch advances step_count by

@@ -715,7 +715,10 @@ def run(recipe: KineticsRecipe, *, train_root: str, train_anno: str,
                 # accumulate device scalars; convert only at log points so
                 # the host loop never blocks on the in-flight step
                 pending = []
+                t_epoch = time.perf_counter()
+                clips_epoch = 0
                 for batch in loader.epoch(ipe):
+                    clips_epoch += int(batch["clip"].shape[0])
                     if trainer.group_size > 1:
                         outs = trainer.train_batch_grouped(batch)
                     else:
@@ -751,6 +754,19 @@ def run(recipe: KineticsRecipe, *, train_root: str, train_anno: str,
                                step=trainer.step_count,
                                loss=sum(losses) / max(len(losses), 1),
                                top1=corr / max(n, 1))
+                # sustained END-TO-END rate: wall time of the whole epoch
+                # loop (decode + staging + device steps overlapped by the
+                # prefetcher), synced on the in-flight step — the number
+                # docs/throughput_e2e.md reconciles against the bench's
+                # compute-only buckets
+                jax.block_until_ready(trainer.params)
+                dt = time.perf_counter() - t_epoch
+                logger.log(
+                    "sustained", epoch=trainer.epochs,
+                    clips=clips_epoch, wall_s=round(dt, 2),
+                    clips_per_sec=round(clips_epoch / dt, 2),
+                    clips_per_sec_per_chip=round(
+                        clips_epoch / dt / jax.local_device_count(), 2))
             else:
                 trainer.eval_epoch(val_loader)
     _maybe_stop_profile(trainer, trainer.iterations, force=True)
