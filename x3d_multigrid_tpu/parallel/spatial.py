@@ -83,8 +83,9 @@ def make_sharded_eval_step(cfg: X3DConfig, mesh: Mesh, *,
     from x3d_multigrid_tpu.ops.preprocess import eval_preprocess_impl
 
     if preprocess_mean_std is not None:
-        pp_mean = jnp.asarray(preprocess_mean_std[0], jnp.float32)
-        pp_std = jnp.asarray(preprocess_mean_std[1], jnp.float32)
+        # host numpy on purpose — see the note in _build_local_step
+        pp_mean = np.asarray(preprocess_mean_std[0], np.float32)
+        pp_std = np.asarray(preprocess_mean_std[1], np.float32)
 
     rep = NamedSharding(mesh, P())
     clip_in = NamedSharding(mesh, _CLIP_SPECS[shard_dim])

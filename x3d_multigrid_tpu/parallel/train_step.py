@@ -22,6 +22,7 @@ from typing import Callable, Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
@@ -107,8 +108,14 @@ def _build_local_step(cfg: X3DConfig, *, loss: str, momentum: float,
 
     loss_fn = LOSS_FNS[loss]
     if preprocess_mean_std is not None:
-        pp_mean = jnp.asarray(preprocess_mean_std[0], jnp.float32)
-        pp_std = jnp.asarray(preprocess_mean_std[1], jnp.float32)
+        # HOST numpy, deliberately: a jnp.asarray here would create eager
+        # device arrays that get closed over and embedded as program
+        # constants — and constant embedding fetches the value back from
+        # the device at every lowering (measured 90-380 s per lowering on
+        # a remote-attached TPU whose first D2H round trip stalls).  As
+        # numpy they fold into the trace as literals, zero device traffic.
+        pp_mean = np.asarray(preprocess_mean_std[0], np.float32)
+        pp_std = np.asarray(preprocess_mean_std[1], np.float32)
 
     def local_grads(params, bn_state, batch, rng, out_size):
         """Per-chip loss/grads for one micro-batch (no optimizer update)."""
@@ -422,8 +429,9 @@ def make_eval_step(cfg: X3DConfig, mesh: Mesh, *, compute_dtype=None,
     from x3d_multigrid_tpu.ops.preprocess import eval_preprocess_impl
 
     if preprocess_mean_std is not None:
-        pp_mean = jnp.asarray(preprocess_mean_std[0], jnp.float32)
-        pp_std = jnp.asarray(preprocess_mean_std[1], jnp.float32)
+        # host numpy on purpose — see the note in _build_local_step
+        pp_mean = np.asarray(preprocess_mean_std[0], np.float32)
+        pp_std = np.asarray(preprocess_mean_std[1], np.float32)
 
     def local_fwd(params, bn_state, clip, out_size):
         if preprocess_mean_std is not None:

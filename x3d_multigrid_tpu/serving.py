@@ -49,8 +49,11 @@ class InferenceEngine:
                 lambda a: a.astype(compute_dtype)
                 if a.dtype == jnp.float32 else a, folded)
         self._folded = folded
-        self._mean = jnp.asarray(mean, jnp.float32)
-        self._std = jnp.asarray(std, jnp.float32)
+        # host numpy on purpose: closed-over device arrays get embedded as
+        # program constants and force a D2H fetch at every lowering (slow
+        # on remote-attached TPUs); numpy folds in as a literal.
+        self._mean = np.asarray(mean, np.float32)
+        self._std = np.asarray(std, np.float32)
         self._dtype = compute_dtype
 
         def _classify(folded_params, clips_u8, n_views):
