@@ -52,30 +52,40 @@ def test_charades_run_end_to_end(tmp_path, task):
         str(tmp_path / "cha"), n_videos=24, n_frames=80,
         frame_size=(56, 44), class_coded=True, n_classes=N_CLASSES)
 
+    # Per-task optimization knobs: the loc head's per-frame BCE needs a
+    # hotter LR and a longer run to take off on the tiny fixture — and
+    # HOW it takes off is host-fp-sensitive: lr .05/20ep reached 0.40 on
+    # the r4 host but plateaus at ~0.19-0.22 on the r5 host (different
+    # XLA:CPU codegen -> different trajectory through a bifurcation).
+    # Swept on the r5 host: lr .1/30ep = 0.48 final (only robust config;
+    # lr .02/.05/.08 at <=30ep all plateau ~0.21).
+    epochs = {"class": 20, "loc": 30}[task]
     recipe = CharadesRecipe(
         task=task, n_classes=N_CLASSES,
-        batch_size=8, max_epochs=20,
+        batch_size=8, max_epochs=epochs,
         frames=16, gamma_tau=2,           # doubled inside loaders -> T=8
         crop_size_override=32, short_side=40,
         train_epochs_per_val=5, ckpt_every_steps=10,
-        init_lr=0.05, bn_momentum=0.5,    # short run: eval stats catch up
+        init_lr={"class": 0.05, "loc": 0.1}[task],
+        bn_momentum=0.5,                  # short run: eval stats catch up
         out_dir=str(tmp_path / "out"), num_devices=_NUM_DEVICES,
         compute_dtype="fp32", model_overrides=TINY_MODEL,
         val_crops=3)
 
     trainer = run(recipe, root=root, anno=split)
 
-    assert trainer.step_count == 40  # 16 videos // batch 8 = 2 iters/epoch
+    # 16 videos // batch 8 = 2 iters/epoch
+    assert trainer.step_count == 2 * epochs
     assert trainer.last_val is not None
     assert np.isfinite(trainer.last_val["loss"])
     ckpts = [f for f in os.listdir(recipe.out_dir) if f.startswith("ckpt")]
     assert ckpts
-    # four vals ran (epochs 5/10/15/20); read the mAP trajectory back from
+    # one val per 5 train epochs; read the mAP trajectory back from
     # the run's own JSONL record
     with open(os.path.join(recipe.out_dir, f"{task}_log.jsonl")) as f:
         vals = [json.loads(l)["map"] for l in f
                 if json.loads(l).get("event") == "val"]
-    assert len(vals) == 4, vals
+    assert len(vals) == epochs // 5, vals
     assert trainer.last_val["map"] == vals[-1]
     # learning: final mAP clears the calibrated floor (far above prior)
     # and does not regress below the mid-run val by more than jitter
