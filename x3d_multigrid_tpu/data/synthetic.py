@@ -149,20 +149,25 @@ def make_fake_charades(root: str, *, n_videos: int = 3, n_frames: int = 170,
 
 def synthetic_train_batch(batch_size: int, frames: int, crop: int,
                           n_classes: int = 400, seed: int = 0,
-                          class_coded: bool = False):
+                          class_coded: bool = False,
+                          signal_scale: float = 0.8, noise_hi: int = 60):
     """Random uint8 batch in the loader's output format.
 
     ``class_coded=True`` paints each clip a label-determined mean color
     plus noise (same scheme as make_fake_kinetics) so synthetic training
     runs have a learnable signal and the loss trajectory in the
-    training-record artifact actually descends."""
+    training-record artifact actually descends.  ``signal_scale`` /
+    ``noise_hi`` set the signal-to-noise ratio: the defaults make the task
+    near-trivially learnable (convergence tests); harder settings (e.g.
+    0.35/200) keep accuracy strictly inside (chance, 1.0) so a metric has
+    resolution in both directions (the multichip dryrun eval)."""
     rng = np.random.RandomState(seed)
     labels = rng.randint(0, n_classes, (batch_size,)).astype(np.int32)
     if class_coded:
         base = np.stack([(labels * 97) % 256, (labels * 53 + 80) % 256,
                          (labels * 31 + 160) % 256], -1).astype(np.float32)
-        noise = rng.randint(0, 60, (batch_size, frames, crop, crop, 3))
-        clip = np.clip(base[:, None, None, None] * 0.8 + noise,
+        noise = rng.randint(0, noise_hi, (batch_size, frames, crop, crop, 3))
+        clip = np.clip(base[:, None, None, None] * signal_scale + noise,
                        0, 255).astype(np.uint8)
     else:
         clip = rng.randint(0, 255, (batch_size, frames, crop, crop, 3),
