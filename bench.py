@@ -66,6 +66,7 @@ try:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 except Exception as e:  # cache is an optimization, never a requirement
+    _cache_dir = None
     print(f"# compilation cache unavailable: {e}", flush=True)
 
 # The environment's sitecustomize pins jax_platforms to the TPU plugin via
@@ -106,6 +107,51 @@ REFERENCE_TABLE_PATH = os.path.join(
 
 # --- persistent-cache hit/miss accounting (selfcheck + per-bucket tags) --
 _CACHE_COUNTS = {"requests": 0, "hits": 0}
+
+# --- live-key collection for --prune-stale ---------------------------------
+# jax._src.lru_cache logs "Cache hit/miss for key: '<key>'" at DEBUG and
+# names entry files "<key>-cache"; collecting the keys a selfcheck touches
+# gives the exact live set, so stale programs (from before an HLO-changing
+# edit) can be deleted instead of sitting in the committed cache forever.
+_LIVE_KEYS = set()
+
+
+class _KeyCollector(__import__("logging").Handler):
+    _RE = __import__("re").compile(r"Cache (?:hit|miss) for key: '([^']+)'")
+
+    def emit(self, record):
+        try:
+            m = self._RE.search(record.getMessage())
+            if m:
+                _LIVE_KEYS.add(m.group(1))
+        except Exception:
+            pass
+
+
+def _install_key_collector():
+    import logging
+    lg = logging.getLogger("jax._src.lru_cache")
+    lg.setLevel(logging.DEBUG)
+    lg.propagate = False  # collect keys without spraying DEBUG to stderr
+    lg.addHandler(_KeyCollector())
+
+
+def prune_stale_cache_entries(cache_dir: str) -> dict:
+    """Delete ``*-cache`` files whose keys were never requested this run."""
+    import glob
+    kept = freed_bytes = 0
+    removed = []
+    for path in glob.glob(os.path.join(cache_dir, "*-cache")):
+        key = os.path.basename(path)[: -len("-cache")]
+        if key in _LIVE_KEYS:
+            kept += 1
+        else:
+            freed_bytes += os.path.getsize(path)
+            removed.append(os.path.basename(path))
+            os.unlink(path)
+    return {"kept": kept, "removed": len(removed),
+            "freed_mb": round(freed_bytes / 1e6, 1),
+            "removed_sample": sorted(removed)[:8]}
 
 
 def _cache_event_listener(event, **kwargs):
@@ -422,6 +468,12 @@ def main():
                     help="compile every program the default run needs, "
                          "report cache hits/misses (and repair misses by "
                          "compiling), then exit — no timing")
+    ap.add_argument("--prune-stale", action="store_true",
+                    help="with --selfcheck: after the check, delete cache "
+                         "entries whose keys were never requested by it "
+                         "(stale programs from before an HLO-changing "
+                         "edit; they would sit in the committed cache as "
+                         "dead weight forever)")
     ap.add_argument("--with-eval", action="store_true",
                     help="re-print the eval section after the headline "
                          "(the eval block itself runs mid-loop by default)")
@@ -448,6 +500,8 @@ def main():
                          "bench (budget logic, JSON emission) runs in ~1 "
                          "min on CPU — the number is meaningless")
     args = ap.parse_args()
+    if args.prune_stale:
+        _install_key_collector()
     t_start = time.perf_counter()
     wall = {}  # stage -> seconds, printed and attached to detail
 
@@ -526,7 +580,7 @@ def main():
 
     if args.selfcheck:
         run_selfcheck(args, cfg, mesh, buckets, params, mom, pp,
-                      compute_dtype)
+                      compute_dtype, copy_state=copy_state)
         return
 
     all_buckets = enumerate_buckets(mcfg)
@@ -734,7 +788,8 @@ def main():
             print(f"# loader section failed: {e!r}", flush=True)
 
 
-def run_selfcheck(args, cfg, mesh, buckets, params, mom, pp, compute_dtype):
+def run_selfcheck(args, cfg, mesh, buckets, params, mom, pp, compute_dtype,
+                  copy_state=None):
     """Compile every program the default bench needs; report which were
     missing from the persistent cache.  Misses are repaired as a side
     effect (the compile writes the cache), so running this before a round
@@ -743,6 +798,12 @@ def run_selfcheck(args, cfg, mesh, buckets, params, mom, pp, compute_dtype):
 
     report = []
     t_all = time.perf_counter()
+    if copy_state is not None:
+        # the bucket loop's per-bucket state copy is its own program
+        with _CompileTag() as tag:
+            jax.block_until_ready(copy_state(params, mom))
+        report.append({"program": "jit_copy", "cache": tag.tag})
+        print(f"# selfcheck jit_copy: {tag.tag}", flush=True)
     for b in buckets:
         per_chip = b.batch_size // REFERENCE_GPUS
         # one retry per bucket: the tunnel's remote_compile endpoint drops
@@ -792,13 +853,16 @@ def run_selfcheck(args, cfg, mesh, buckets, params, mom, pp, compute_dtype):
         report.append({"program": "eval_block", "cache": f"failed: {e!r}"})
     missing = [r["program"] for r in report
                if r.get("cache", "").startswith(("MISS", "failed"))]
-    print(json.dumps({
+    out = {
         "metric": "cache_selfcheck",
         "programs": len(report),
         "missing": missing,
         "cache_counters": dict(_CACHE_COUNTS),
         "wall_s": round(time.perf_counter() - t_all, 1),
-    }), flush=True)
+    }
+    if args.prune_stale and _cache_dir:
+        out["pruned"] = prune_stale_cache_entries(_cache_dir)
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
