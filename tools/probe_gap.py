@@ -109,8 +109,13 @@ def main():
         compile_s = time.perf_counter() - t0
         ca = compiled.cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-        gb = ca.get("bytes accessed", 0.0) / args.steps / 1e9
-        tflop = ca.get("flops", 0.0) / args.steps / 1e12
+        # XLA's cost analysis counts a while/scan BODY ONCE, not x trip
+        # count (verified: the 8-step scan program reports the same
+        # bytes as tools/cost_analysis.py's single-step program, e.g.
+        # 90.6 vs 90.4 GB at (32,8,224,4)), so the raw numbers ARE
+        # per-step already.
+        gb = ca.get("bytes accessed", 0.0) / 1e9
+        tflop = ca.get("flops", 0.0) / 1e12
         implied_ms = gb / 819.0 * 1e3  # v5e ~819 GB/s HBM
         row = {"shape": (per_chip, t, s, splits), "note": note,
                "gb_per_step": round(gb, 2),
