@@ -153,13 +153,20 @@ class TestConv3d:
 
     @pytest.mark.parametrize("hw", [11, 16])
     def test_stem_im2col_matches_torch(self, hw):
-        """The im2col stem route (the default; ops/conv3d.py STEM_IMPL)
-        must equal the dense conv it replaces (reference x3d.py:196-201)."""
-        from x3d_multigrid_tpu.ops.conv3d import stem_spatial_conv
+        """The s2d im2col stem route (selectable via set_stem_impl; the
+        r5-measured default is 'xla') must equal the dense conv it
+        replaces (reference x3d.py:196-201)."""
+        import importlib
+        conv_mod = importlib.import_module("x3d_multigrid_tpu.ops.conv3d")
         rng = np.random.RandomState(7)
         x = rng.randn(2, 3, hw, hw, 3).astype(np.float32)
         w = rng.randn(1, 3, 3, 3, 8).astype(np.float32)
-        out = stem_spatial_conv(jnp.asarray(x), jnp.asarray(w))
+        conv_mod.set_stem_impl("im2col")
+        try:
+            out = conv_mod.stem_spatial_conv(jnp.asarray(x),
+                                             jnp.asarray(w))
+        finally:
+            conv_mod.set_stem_impl("xla")
         ref = tF.conv3d(_to_torch_nchw(x), _w_to_torch(w),
                         stride=(1, 2, 2), padding=(0, 1, 1))
         np.testing.assert_allclose(out, _from_torch_nchw(ref),
@@ -168,13 +175,13 @@ class TestConv3d:
     def test_stem_im2col_custom_vjp_matches_conv_grads(self):
         """The hand-written im2col backward (dk matmul + XLA transposed
         conv dx) must match autodiff of the dense conv."""
-        from x3d_multigrid_tpu.ops.conv3d import stem_spatial_conv
+        from x3d_multigrid_tpu.ops.conv3d import _stem_im2col
         rng = np.random.RandomState(11)
         x = jnp.asarray(rng.randn(2, 3, 12, 12, 3).astype(np.float32))
         w = jnp.asarray(rng.randn(1, 3, 3, 3, 8).astype(np.float32))
 
         def loss_im2col(xx, ww):
-            return jnp.sum(jnp.sin(stem_spatial_conv(xx, ww)))
+            return jnp.sum(jnp.sin(_stem_im2col(xx, ww)))
 
         def loss_conv(xx, ww):
             return jnp.sum(jnp.sin(conv3d(

@@ -154,13 +154,23 @@ def depthwise_conv3d(x, w, *, spatial_stride=1, padding=(1, 1, 1)):
     )
 
 
-# Stem spatial-conv implementation selector ("im2col" / "xla"): XLA's TPU
+# Stem spatial-conv implementation selector ("xla" / "im2col"): XLA's TPU
 # conv lowering pads C_in up to a full register tile, so the stem's dense
-# 1x3x3 conv on 3 RGB channels wastes >40x of its vector work — measured
-# 12.2 ms of a 121 ms X3D-M train step (tools/ablate_step.py).  The
-# im2col route (9 shifted strided slices -> one (9*C_in, C_out) matmul on
-# the MXU) is mathematically identical.
-STEM_IMPL = "im2col"
+# 1x3x3 conv on 3 RGB channels wastes >40x of its vector work — the r3
+# ablation attributed 12.2 ms of a 121 ms X3D-M train step to it
+# (tools/ablate_step.py).  The s2d im2col route below (space-to-depth +
+# one (16*C_in, C_out) MXU matmul with a hand-written backward) is
+# mathematically identical and was shipped as the default in r3 after an
+# in-step win at the (32, 8, 224) fine bucket.  Re-measured across ALL 10
+# multigrid buckets in r5 (tools/probe_stem.py, full scan-loop train
+# step), XLA's dense conv now wins every bucket — by 1.9-7.9 ms/step and
+# 5-6 GB/step less post-fusion traffic (worst at the thin-per-chip-batch
+# shapes: (64,8,158) 100.2 vs 108.1 ms, (32,8,224) 113.0 vs 118.9) — the
+# im2col patch tensor's extra materialized traffic costs more than the
+# lane-starved conv it replaces, and the earlier 1-2 ms fine-bucket win
+# did not survive the surrounding fusion changes since r3.  "xla" is the
+# default; the im2col path stays tested and selectable for experiments.
+STEM_IMPL = "xla"
 
 
 def set_stem_impl(mode: str) -> None:
@@ -262,13 +272,14 @@ def stem_spatial_conv(x, w, *, stride=2):
     """Dense ``1 x kh x kw`` conv, stride ``(1, s, s)``, padding
     ``(0, 1, 1)`` — the X3D stem's ``conv1_s`` (reference x3d.py:196-201).
 
-    ``w``: ``(1, kh, kw, C_in, C_out)`` with small ``C_in`` (RGB).  XLA's
-    conv lowering pads C_in=3 up to a full register tile, wasting >40x of
-    the vector work; the default im2col path concatenates the ``kh*kw``
-    shifted strided slices of the padded input into a
-    ``(N, T, H', W', kh*kw*C_in)`` patch tensor and contracts it with
-    ``w`` reshaped to ``(kh*kw*C_in, C_out)`` — one well-shaped MXU
-    matmul — with a hand-written backward (see ``_stem_im2col_bwd``).
+    ``w``: ``(1, kh, kw, C_in, C_out)`` with small ``C_in`` (RGB).  The
+    default routes through XLA's dense conv — measured fastest across all
+    10 multigrid buckets in the full train step (see the ``STEM_IMPL``
+    note above).  ``set_stem_impl('im2col')`` selects the space-to-depth
+    im2col alternative: fold the 2x2 stride phase into channels, contract
+    2x2 block-space patches with ``w`` reshaped to ``(16*C_in, C_out)`` —
+    one well-shaped MXU matmul — with a hand-written backward
+    (``_stem_im2col_bwd``).
     """
     if STEM_IMPL == "xla" or stride != 2 or w.shape[1:3] != (3, 3):
         return conv3d(x, w, stride=(1, stride, stride), padding=(0, 1, 1))
